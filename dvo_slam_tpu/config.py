@@ -1,0 +1,160 @@
+"""Configuration dataclasses.
+
+TPU-native equivalent of the reference's per-layer config structs:
+  - ``DenseTracker::Config`` (reference: dvo_core/include/dvo/dense_tracking.h)
+  - ``dvo_slam::Config``     (reference: dvo_slam/include/dvo_slam/config.h)
+
+Frozen + hashable so they can be passed as static arguments to ``jax.jit``;
+every numeric threshold that participates in traced computation is baked into
+the compiled program (the reference rebuilds trackers on dynamic_reconfigure;
+we recompile — same semantics, offline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# Robust-weighting selectors (reference: dvo_core/include/dvo/core/
+# weight_calculation.h — ScaleEstimators::enum_t / InfluenceFunctions::enum_t)
+# ---------------------------------------------------------------------------
+SCALE_ESTIMATORS = ("unit", "normal", "mad", "tdist")
+INFLUENCE_FUNCTIONS = ("unit", "huber", "tukey", "tdist")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Dense-tracker knobs (reference: DenseTracker::Config).
+
+    Pyramid level indices follow the reference convention: level 0 is full
+    resolution (640x480), higher = coarser. ``first_level`` is the coarsest
+    level tracked, ``last_level`` the finest. Reference defaults are
+    FirstLevel=3, LastLevel=1 — the full-resolution level is NOT tracked by
+    default (SURVEY.md §4.4).
+    """
+
+    num_levels: int = 4
+    first_level: int = 3
+    last_level: int = 1
+
+    max_iterations: int = 50
+    # Convergence: stop when ||delta_xi||_2 < precision
+    # (reference Config::Precision default 5e-7; we run f32 on device so use
+    # a tolerance achievable in single precision — ATE parity is the
+    # contract, not iteration-count parity; SURVEY.md §8.3.4).
+    precision: float = 1e-6
+
+    # Pose prior weight (reference Config::Mu). 0 = disabled.
+    mu: float = 0.0
+
+    # Robust weighting (reference Config::UseWeighting + estimator/influence
+    # selection). The default bivariate t-distribution path corresponds to
+    # scale_estimator="tdist" + influence="tdist" with dof=5
+    # (TDistributionScaleEstimator::DEFAULT_DOF).
+    use_weighting: bool = True
+    scale_estimator: str = "tdist"
+    influence: str = "tdist"
+    tdist_dof: float = 5.0
+    # Fixed-point iterations for the bivariate scale-matrix estimate
+    # (reference iterates to convergence; a fixed small count is
+    # jit-friendly and converges in practice).
+    tdist_scale_iters: int = 5
+    huber_k: float = 1.345
+    tukey_b: float = 4.6851
+
+    # Point selection thresholds on the *reference* frame's gradients
+    # (reference Config::IntensityDerivativeThreshold /
+    # DepthDerivativeThreshold; ValidPointAndGradientThresholdPredicate).
+    intensity_grad_threshold: float = 0.0
+    depth_grad_threshold: float = 0.0
+
+    # Use the geometric (depth) residual in addition to the photometric one
+    # — the bivariate path of ICRA13/IROS13. False = photometric-only
+    # (BASELINE.json config #1).
+    use_depth: bool = True
+
+    # Levenberg-Marquardt damping. 0 disables (pure Gauss-Newton with
+    # error-increase rollback, the reference behaviour); >0 enables the
+    # adaptive-lambda LM loop (BASELINE.json config #3).
+    lm_lambda_init: float = 0.0
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 0.5
+    lm_lambda_max: float = 1e4
+
+    def __post_init__(self):
+        if self.scale_estimator not in SCALE_ESTIMATORS:
+            raise ValueError(f"unknown scale estimator {self.scale_estimator}")
+        if self.influence not in INFLUENCE_FUNCTIONS:
+            raise ValueError(f"unknown influence function {self.influence}")
+        if not (0 <= self.last_level <= self.first_level < self.num_levels):
+            raise ValueError(
+                "require 0 <= last_level <= first_level < num_levels, got "
+                f"{self.last_level} <= {self.first_level} < {self.num_levels}"
+            )
+
+    @property
+    def tracked_levels(self) -> tuple:
+        """Level indices tracked, coarse to fine."""
+        return tuple(range(self.first_level, self.last_level - 1, -1))
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """SLAM backend knobs (reference: dvo_slam::Config, dvo_slam/cfg/*.cfg).
+
+    Padded capacities exist because the TPU pose-graph solver and the
+    batched loop-closure validator run on fixed shapes (SURVEY.md §8.3.5);
+    the reference grows g2o graphs dynamically.
+    """
+
+    # --- keyframe selection (entropy ratio, IROS13 §IV) ---
+    # New keyframe when H(current)/H(first frame after keyframe) drops
+    # below this (reference uses ~0.9).
+    min_entropy_ratio: float = 0.9
+    # Acceptance criterion: fraction of selected points that produced valid
+    # constraints (reference Config::MinEquationSystemConstraintRatio).
+    min_constraint_ratio: float = 0.2
+
+    # --- loop closure (reference KeyframeGraph + constraints/*) ---
+    # Candidate keyframes within this metric radius of the new keyframe
+    # (reference Config::NewConstraintSearchRadius, default 5.0).
+    new_constraint_search_radius: float = 5.0
+    # Skip candidates closer than this many keyframes in graph distance
+    # (reference Config::MinConstraintDistance).
+    min_constraint_distance: int = 5
+    # Entropy-ratio acceptance for the two validation stages (reference
+    # Config::NewConstraintMinEntropyRatioCoarse / ...Fine).
+    min_entropy_ratio_coarse: float = 0.6
+    min_entropy_ratio_fine: float = 0.75
+    # Forward-backward consistency: || log(T_fwd * T_bwd) || below this
+    # (reference CrossValidationVoter).
+    cross_validation_threshold: float = 0.10
+    # Batch size for the vmapped constraint validator (candidates are
+    # padded/chunked to this size).
+    validation_batch: int = 8
+
+    # --- pose graph optimization (g2o replacement) ---
+    optimization_iterations: int = 20
+    final_optimization_iterations: int = 100
+    use_robust_kernel: bool = True
+    cauchy_c: float = 1.0
+    # Remove loop edges whose robust weight falls below this after an
+    # optimization round (reference Config::OptimizationRemoveOutliers +
+    # OptimizationOutlierWeightThreshold).
+    remove_outliers: bool = True
+    outlier_weight_threshold: float = 0.1
+
+    # --- padded capacities (static shapes for jit) ---
+    max_keyframes: int = 256
+    max_edges: int = 1024
+
+    # --- tracker configs used by the SLAM layer ---
+    # Coarse validation tracks only the coarsest levels; fine validation
+    # tracks the normal range.
+    coarse_first_level: int = 3
+    coarse_last_level: int = 3
+
+
+DEFAULT_TRACKER = TrackerConfig()
+DEFAULT_SLAM = SlamConfig()

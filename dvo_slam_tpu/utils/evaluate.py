@@ -1,0 +1,73 @@
+"""Trajectory evaluation: ATE and RPE.
+
+Reimplements the TUM RGB-D benchmark's de-facto oracles (evaluate_ate.py /
+evaluate_rpe.py from the dataset website — the reference repo's only
+validation mechanism, SURVEY.md §5): absolute trajectory error RMSE after
+rigid Horn/Umeyama alignment, and relative pose error over a fixed frame
+delta. Host-side NumPy, double precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dvo_slam_tpu.utils import se3_np
+
+
+def umeyama_alignment(src, dst, with_scale=False):
+    """Least-squares rigid alignment src -> dst.
+
+    src, dst: (N, 3). Returns (s, R, t) with dst ~ s * R @ src + t.
+    """
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs**2).sum() / len(src)
+        s = float(np.trace(np.diag(D) @ S) / var_s)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(estimated, groundtruth, with_scale=False):
+    """Absolute trajectory error RMSE (meters) after rigid alignment.
+
+    estimated/groundtruth: lists or arrays of 4x4 camera-to-world poses
+    (already associated 1:1).
+    """
+    est_t = np.array([T[:3, 3] for T in estimated])
+    gt_t = np.array([T[:3, 3] for T in groundtruth])
+    s, R, t = umeyama_alignment(est_t, gt_t, with_scale=with_scale)
+    aligned = (s * (R @ est_t.T)).T + t
+    err = aligned - gt_t
+    return float(np.sqrt((err**2).sum(axis=1).mean()))
+
+
+def rpe(estimated, groundtruth, delta=1):
+    """Relative pose error over frame delta.
+
+    Returns (trans_rmse [m], rot_rmse [rad]).
+    """
+    trans_err, rot_err = [], []
+    n = len(estimated)
+    for i in range(n - delta):
+        est_rel = se3_np.inverse(estimated[i]) @ estimated[i + delta]
+        gt_rel = se3_np.inverse(groundtruth[i]) @ groundtruth[i + delta]
+        e = se3_np.inverse(gt_rel) @ est_rel
+        trans_err.append(np.linalg.norm(e[:3, 3]))
+        cos_r = np.clip((np.trace(e[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        rot_err.append(np.arccos(cos_r))
+    trans_err = np.asarray(trans_err)
+    rot_err = np.asarray(rot_err)
+    return float(np.sqrt((trans_err**2).mean())), float(np.sqrt((rot_err**2).mean()))

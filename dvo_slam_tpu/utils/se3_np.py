@@ -1,0 +1,130 @@
+"""Host-side double-precision SE(3) (NumPy).
+
+The reference keeps all pose bookkeeping in Eigen doubles; on TPU the device
+runs f32, so global pose chains (trajectory accumulation, keyframe poses,
+TUM serialization) stay on the host in f64 (SURVEY.md §8.1 / §8.3.3). Same
+(v, w) translation-first twist convention as ops/se3.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hat(w):
+    return np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]], dtype=np.float64
+    )
+
+
+def exp(xi):
+    """se(3) exp: (6,) -> (4, 4), translation-first twist."""
+    xi = np.asarray(xi, dtype=np.float64)
+    v, w = xi[:3], xi[3:]
+    theta_sq = float(w @ w)
+    W = hat(w)
+    W2 = W @ W
+    if theta_sq < 1e-12:
+        a = 1.0 - theta_sq / 6.0
+        b = 0.5 - theta_sq / 24.0
+        c = 1.0 / 6.0 - theta_sq / 120.0
+    else:
+        theta = np.sqrt(theta_sq)
+        a = np.sin(theta) / theta
+        b = (1.0 - np.cos(theta)) / theta_sq
+        c = (theta - np.sin(theta)) / (theta_sq * theta)
+    R = np.eye(3) + a * W + b * W2
+    V = np.eye(3) + b * W + c * W2
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T
+
+
+def log(T):
+    """SE(3) log: (4, 4) -> (6,) twist (v, w)."""
+    T = np.asarray(T, dtype=np.float64)
+    R = T[:3, :3]
+    t = T[:3, 3]
+    cos_theta = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(cos_theta)
+    if theta < 1e-8:
+        w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        V_inv = np.eye(3) - 0.5 * hat(w)
+    else:
+        w = (
+            theta
+            / (2.0 * np.sin(theta))
+            * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        )
+        W = hat(w)
+        coef = 1.0 / theta**2 - (1.0 + np.cos(theta)) / (2.0 * theta * np.sin(theta))
+        V_inv = np.eye(3) - 0.5 * W + coef * (W @ W)
+    return np.concatenate([V_inv @ t, w])
+
+
+def inverse(T):
+    T = np.asarray(T, dtype=np.float64)
+    out = np.eye(4)
+    out[:3, :3] = T[:3, :3].T
+    out[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+    return out
+
+
+def quat_to_rot(q):
+    """Unit quaternion [qx, qy, qz, qw] (TUM order) -> rotation matrix."""
+    x, y, z, w = np.asarray(q, dtype=np.float64)
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def rot_to_quat(R):
+    """Rotation matrix -> unit quaternion [qx, qy, qz, qw] (TUM order)."""
+    R = np.asarray(R, dtype=np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2.0
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2.0
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2.0
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([x, y, z, w])
+    return q / np.linalg.norm(q)
+
+
+def pose_to_matrix(t, q):
+    """TUM pose (translation, quaternion xyzw) -> 4x4 matrix."""
+    T = np.eye(4)
+    T[:3, :3] = quat_to_rot(q)
+    T[:3, 3] = np.asarray(t, dtype=np.float64)
+    return T
+
+
+def matrix_to_pose(T):
+    """4x4 matrix -> (translation (3,), quaternion xyzw (4,))."""
+    return np.asarray(T[:3, 3], dtype=np.float64), rot_to_quat(T[:3, :3])

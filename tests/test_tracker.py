@@ -1,0 +1,176 @@
+"""Dense-tracker integration tests: synthetic-warp recovery.
+
+Frames rendered analytically at known poses (utils/synthetic.py) must be
+aligned by the tracker to the true relative pose — the property-test
+replacement for the reference's dataset-only validation (SURVEY.md §5).
+Covers BASELINE.json configs #1 (photometric-only single level), #2
+(coarse-to-fine bivariate), #3 (t-dist weighting + LM).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvo_slam_tpu.config import TrackerConfig
+from dvo_slam_tpu.models import dense_tracker
+from dvo_slam_tpu.ops import camera, pyramid
+from dvo_slam_tpu.utils import se3_np, synthetic
+
+W, H = 80, 60
+K_TUPLE = (40.0, 40.0, (W - 1) / 2.0, (H - 1) / 2.0)
+
+
+def _render_pair(xi_rel, scene=None, sharpness=1.0):
+    """Render ref at identity and cur at T_wc = exp(xi)^{-1}... careful:
+    tracker estimates T mapping ref-camera coords to cur-camera coords,
+    i.e. T = T_cur_world = (T_w_cur)^{-1} T_w_ref."""
+    scene = scene or synthetic.PlaneScene(sharpness=sharpness)
+    K = np.asarray(K_TUPLE)
+    T_w_ref = np.eye(4)
+    T_rel = se3_np.exp(xi_rel)  # ref-cam -> cur-cam
+    T_w_cur = T_w_ref @ se3_np.inverse(T_rel)
+    i_ref, z_ref = scene.render(K, W, H, T_w_ref)
+    i_cur, z_cur = scene.render(K, W, H, T_w_cur)
+    return (i_ref, z_ref), (i_cur, z_cur), T_rel
+
+
+def _track(ref, cur, cfg, T_init=None):
+    Kd = camera.intrinsics(*K_TUPLE)
+    Ks = camera.pyramid_intrinsics(Kd, cfg.num_levels)
+    ref_pyr = pyramid.build_pyramid(jnp.asarray(ref[0]), jnp.asarray(ref[1]), cfg.num_levels)
+    cur_pyr = pyramid.build_pyramid(jnp.asarray(cur[0]), jnp.asarray(cur[1]), cfg.num_levels)
+    T0 = jnp.eye(4) if T_init is None else jnp.asarray(T_init, jnp.float32)
+    return dense_tracker.track_jit(ref_pyr, cur_pyr, Ks, T0, cfg)
+
+
+def _pose_error(T_est, T_true):
+    return np.linalg.norm(se3_np.log(se3_np.inverse(np.asarray(T_est, np.float64)) @ T_true))
+
+
+def test_identity_pair_converges_to_identity():
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0)
+    (i_r, z_r), _, _ = _render_pair(np.zeros(6))
+    res = _track((i_r, z_r), (i_r, z_r), cfg)
+    assert _pose_error(res.transformation, np.eye(4)) < 1e-4
+    assert not bool(res.is_nan())
+
+
+def test_config1_photometric_single_level():
+    """BASELINE.json config #1: single level, photometric only."""
+    cfg = TrackerConfig(
+        num_levels=1, first_level=0, last_level=0,
+        use_depth=False, use_weighting=False, max_iterations=100,
+    )
+    xi = np.array([0.004, -0.003, 0.002, 0.002, -0.001, 0.002])
+    ref, cur, T_true = _render_pair(xi)
+    res = _track(ref, cur, cfg)
+    err = _pose_error(res.transformation, T_true)
+    assert err < 5e-3, f"pose error {err}"
+
+
+def test_config2_coarse_to_fine_bivariate():
+    """BASELINE.json config #2: 3-level pyramid, intensity+depth residuals."""
+    cfg = TrackerConfig(
+        num_levels=3, first_level=2, last_level=0,
+        use_depth=True, use_weighting=False, max_iterations=50,
+    )
+    xi = np.array([0.02, -0.015, 0.01, 0.01, -0.008, 0.012])
+    ref, cur, T_true = _render_pair(xi)
+    res = _track(ref, cur, cfg)
+    err = _pose_error(res.transformation, T_true)
+    assert err < 2e-3, f"pose error {err}"
+
+
+def test_config3_tdist_lm():
+    """BASELINE.json config #3: t-dist weighting + LM damping."""
+    cfg = TrackerConfig(
+        num_levels=3, first_level=2, last_level=0,
+        use_depth=True, use_weighting=True,
+        scale_estimator="tdist", influence="tdist",
+        lm_lambda_init=1e-4, max_iterations=50,
+    )
+    xi = np.array([0.02, -0.015, 0.01, 0.01, -0.008, 0.012])
+    ref, cur, T_true = _render_pair(xi)
+    res = _track(ref, cur, cfg)
+    err = _pose_error(res.transformation, T_true)
+    assert err < 2e-3, f"pose error {err}"
+
+
+def test_robust_to_outlier_patch():
+    """Corrupt a block of the current frame; t-dist weighting must keep the
+    estimate close while unweighted LS degrades more."""
+    xi = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.005])
+    ref, cur, T_true = _render_pair(xi)
+    i_cur = cur[0].copy()
+    i_cur[10:30, 20:50] = 250.0  # occluder-like corruption
+    cur_bad = (i_cur, cur[1])
+
+    cfg_robust = TrackerConfig(num_levels=3, first_level=2, last_level=0,
+                               use_weighting=True)
+    cfg_plain = TrackerConfig(num_levels=3, first_level=2, last_level=0,
+                              use_weighting=False)
+    err_robust = _pose_error(_track(ref, cur_bad, cfg_robust).transformation, T_true)
+    err_plain = _pose_error(_track(ref, cur_bad, cfg_plain).transformation, T_true)
+    assert err_robust < 6e-3, f"robust pose error {err_robust}"
+    assert err_robust <= err_plain + 1e-6
+
+
+def test_initial_estimate_used():
+    xi = np.array([0.06, -0.04, 0.03, 0.03, -0.02, 0.03])  # large motion
+    ref, cur, T_true = _render_pair(xi)
+    cfg = TrackerConfig(num_levels=3, first_level=2, last_level=0)
+    # With a good initial estimate the tracker must lock in.
+    res = _track(ref, cur, cfg, T_init=se3_np.exp(xi * 0.9))
+    assert _pose_error(res.transformation, T_true) < 3e-3
+
+
+def test_result_fields_finite():
+    xi = np.array([0.005, 0.0, 0.0, 0.0, 0.0, 0.002])
+    ref, cur, _ = _render_pair(xi)
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0)
+    res = _track(ref, cur, cfg)
+    assert np.isfinite(float(res.log_likelihood))
+    assert np.isfinite(float(res.entropy))
+    assert np.isfinite(np.asarray(res.information)).all()
+    assert float(res.valid_ratio) > 0.5
+    assert int(res.iterations[0]) >= 1
+    # Information must be symmetric positive definite.
+    info = np.asarray(res.information, np.float64)
+    np.testing.assert_allclose(info, info.T, atol=1e-2)
+    assert np.linalg.eigvalsh(info).min() > 0
+
+
+def test_batched_tracking_matches_single():
+    xi_a = np.array([0.01, 0.0, 0.005, 0.002, 0.0, 0.003])
+    xi_b = np.array([-0.008, 0.006, 0.0, 0.0, 0.004, -0.002])
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0)
+    Kd = camera.intrinsics(*K_TUPLE)
+    Ks = camera.pyramid_intrinsics(Kd, cfg.num_levels)
+
+    ref_a, cur, T_a = _render_pair(xi_a)
+    # Second reference frame: the same current frame tracked from another view.
+    scene = synthetic.PlaneScene()
+    T_rel_b = se3_np.exp(xi_b)
+    T_w_refb = (se3_np.inverse(T_rel_b))  # so that refb -> cur == exp(xi_b)...
+    # Simpler: render refb s.t. cur = refb warped by exp(xi_b):
+    # T_w_cur for pair a:
+    T_w_cur = se3_np.inverse(T_a)
+    T_w_refb = T_w_cur @ T_rel_b
+    i_refb, z_refb = scene.render(np.asarray(K_TUPLE), W, H, T_w_refb)
+
+    pyr_a = pyramid.build_pyramid(jnp.asarray(ref_a[0]), jnp.asarray(ref_a[1]), 2)
+    pyr_b = pyramid.build_pyramid(jnp.asarray(i_refb), jnp.asarray(z_refb), 2)
+    cur_pyr = pyramid.build_pyramid(jnp.asarray(cur[0]), jnp.asarray(cur[1]), 2)
+
+    refs = tuple(jnp.stack([a, b]) for a, b in zip(pyr_a, pyr_b))
+    T0 = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    batched = dense_tracker.track_batched(refs, cur_pyr, Ks, T0, cfg)
+
+    single_a = dense_tracker.track_jit(pyr_a, cur_pyr, Ks, jnp.eye(4), cfg)
+    np.testing.assert_allclose(
+        np.asarray(batched.transformation[0]),
+        np.asarray(single_a.transformation),
+        atol=1e-5,
+    )
+    # Pair b must converge to its own ground truth.
+    assert _pose_error(batched.transformation[1], T_rel_b) < 5e-3
