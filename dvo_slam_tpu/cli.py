@@ -1,0 +1,153 @@
+"""Command-line interface.
+
+Replaces the reference's executable surface (SURVEY.md §3):
+  * `benchmark` — dvo_benchmark/benchmark_slam over a TUM directory
+  * `odometry`  — dvo_ros camera_tracker (frame-to-frame visual odometry,
+                  offline over a dataset instead of live ROS topics)
+  * `slam`      — dvo_ros/dvo_slam camera_keyframe_tracker
+  * `synthetic` — self-contained benchmark on rendered scenes (new)
+  * `evaluate`  — TUM evaluate_ate/evaluate_rpe equivalents
+
+Usage: python -m dvo_slam_tpu.cli <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+
+
+def _add_tracker_args(p):
+    g = p.add_argument_group("tracker (DenseTracker::Config equivalents)")
+    g.add_argument("--num-levels", type=int, default=4)
+    g.add_argument("--first-level", type=int, default=3)
+    g.add_argument("--last-level", type=int, default=1)
+    g.add_argument("--max-iterations", type=int, default=50)
+    g.add_argument("--precision", type=float, default=1e-6)
+    g.add_argument("--no-weighting", action="store_true")
+    g.add_argument("--scale-estimator", default="tdist",
+                   choices=["unit", "normal", "mad", "tdist"])
+    g.add_argument("--influence", default="tdist",
+                   choices=["unit", "huber", "tukey", "tdist"])
+    g.add_argument("--no-depth", action="store_true",
+                   help="photometric-only residuals")
+    g.add_argument("--lm-lambda", type=float, default=0.0)
+
+
+def _add_slam_args(p):
+    g = p.add_argument_group("slam (dvo_slam::Config equivalents)")
+    g.add_argument("--min-entropy-ratio", type=float, default=0.9)
+    g.add_argument("--search-radius", type=float, default=5.0)
+    g.add_argument("--min-constraint-distance", type=int, default=5)
+    g.add_argument("--max-keyframes", type=int, default=256)
+    g.add_argument("--max-edges", type=int, default=1024)
+    g.add_argument("--no-robust-kernel", action="store_true")
+
+
+def _tracker_cfg(args) -> TrackerConfig:
+    return TrackerConfig(
+        num_levels=args.num_levels,
+        first_level=args.first_level,
+        last_level=args.last_level,
+        max_iterations=args.max_iterations,
+        precision=args.precision,
+        use_weighting=not args.no_weighting,
+        scale_estimator=args.scale_estimator,
+        influence=args.influence,
+        use_depth=not args.no_depth,
+        lm_lambda_init=args.lm_lambda,
+    )
+
+
+def _slam_cfg(args) -> SlamConfig:
+    return SlamConfig(
+        min_entropy_ratio=args.min_entropy_ratio,
+        new_constraint_search_radius=args.search_radius,
+        min_constraint_distance=args.min_constraint_distance,
+        max_keyframes=args.max_keyframes,
+        max_edges=args.max_edges,
+        use_robust_kernel=not args.no_robust_kernel,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="dvo_slam_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    for name, mode in [("benchmark", "slam"), ("slam", "slam"),
+                       ("odometry", "odometry")]:
+        p = sub.add_parser(name)
+        p.add_argument("dataset", help="TUM RGB-D sequence directory")
+        p.add_argument("--trajectory-out", default=None)
+        p.add_argument("--max-frames", type=int, default=None)
+        p.add_argument("--fr", type=int, default=1, choices=[1, 2, 3],
+                       help="TUM freiburg calibration set")
+        p.set_defaults(mode=mode)
+        _add_tracker_args(p)
+        _add_slam_args(p)
+
+    p = sub.add_parser("synthetic")
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--mode", default="slam",
+                   choices=["slam", "keyframe", "odometry"])
+    p.add_argument("--trajectory-out", default=None)
+    _add_tracker_args(p)
+    _add_slam_args(p)
+
+    p = sub.add_parser("evaluate")
+    p.add_argument("estimated", help="TUM-format trajectory file")
+    p.add_argument("groundtruth", help="TUM-format groundtruth file")
+    p.add_argument("--rpe-delta", type=int, default=1)
+
+    args = ap.parse_args(argv)
+
+    if args.command == "evaluate":
+        import numpy as np
+
+        from dvo_slam_tpu.utils import evaluate, tum
+
+        est = tum.read_trajectory(args.estimated)
+        gt = tum.read_trajectory(args.groundtruth)
+        pairs = tum.associate([t for t, _ in est], [t for t, _ in gt])
+        e = [est[i][1] for i, _ in pairs]
+        g = [gt[j][1] for _, j in pairs]
+        ate = evaluate.ate_rmse(e, g)
+        rpe_t, rpe_r = evaluate.rpe(e, g, delta=args.rpe_delta)
+        print(f"ate_rmse_m {ate:.6f}")
+        print(f"rpe_trans_m {rpe_t:.6f}")
+        print(f"rpe_rot_deg {np.degrees(rpe_r):.6f}")
+        return 0
+
+    from dvo_slam_tpu import benchmark
+
+    tracker_cfg = _tracker_cfg(args)
+    slam_cfg = _slam_cfg(args)
+
+    if args.command == "synthetic":
+        res = benchmark.run_synthetic(
+            num_frames=args.frames, width=args.width, height=args.height,
+            tracker_cfg=tracker_cfg, slam_cfg=slam_cfg, mode=args.mode,
+            trajectory_out=args.trajectory_out,
+        )
+    else:
+        from dvo_slam_tpu.ops import camera
+
+        K = {1: camera.TUM_FR1, 2: camera.TUM_FR2, 3: camera.TUM_FR3}[args.fr]
+        res = benchmark.run_tum_dataset(
+            args.dataset, tracker_cfg, slam_cfg, mode=args.mode,
+            trajectory_out=args.trajectory_out, max_frames=args.max_frames,
+            intrinsics=K,
+        )
+    print(res.to_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

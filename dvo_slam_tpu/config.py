@@ -62,6 +62,15 @@ class TrackerConfig:
     tdist_scale_iters: int = 5
     huber_k: float = 1.345
     tukey_b: float = 4.6851
+    # Sensor-noise floor on the residual scale estimates. Without it the
+    # bivariate Sigma fixed point collapses on noise-free (synthetic or
+    # well-fit) data — e.g. sigma_Z -> 1e-5 m gives the depth channel a
+    # precision of ~1e10, numerically drowning the intensity channel in f32
+    # and locking the optimizer onto depth-degenerate directions (in-plane
+    # sliding over planar scenes). 0.5 intensity levels ~ 8-bit
+    # quantization; 1 mm ~ Kinect depth noise floor.
+    min_intensity_sigma: float = 0.5
+    min_depth_sigma: float = 1e-3
 
     # Point selection thresholds on the *reference* frame's gradients
     # (reference Config::IntensityDerivativeThreshold /

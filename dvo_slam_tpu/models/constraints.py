@@ -1,0 +1,175 @@
+"""Loop-closure constraint proposal and batched two-stage validation.
+
+TPU-native equivalent of the reference's constraint machinery
+(dvo_slam/include/dvo_slam/constraints/constraint_proposal.h,
+constraint_proposal_validator.h, constraint_proposal_voter.h; SURVEY.md S7
+and §3.4): candidate keyframes within a metric search radius are tracked at
+COARSE pyramid levels in both directions, filtered by voters (NaN result,
+cross-validation T_fwd o T_bwd ~ I, entropy ratio vs the keyframe's own
+tracking history, constraint ratio), then survivors are re-tracked at FINE
+levels and re-voted.
+
+The reference validates proposals serially with a dedicated DenseTracker;
+here every stage is ONE vmapped batched tracker call over a padded
+candidate batch (SURVEY.md §8.1), including both directions at once: the
+forward and backward problems are just rows of the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.models import dense_tracker
+from dvo_slam_tpu.utils import se3_np
+
+
+@dataclasses.dataclass
+class ConstraintCandidate:
+    """A proposed loop-closure edge (reference ConstraintProposal)."""
+
+    keyframe_idx: int  # existing keyframe (vertex i)
+    new_idx: int  # the newly added keyframe (vertex j)
+    T_init: np.ndarray  # (4, 4) initial estimate: candidate-cam -> new-cam
+
+
+@dataclasses.dataclass
+class AcceptedConstraint:
+    keyframe_idx: int
+    new_idx: int
+    measurement: np.ndarray  # (4, 4) Z = T_i^{-1} T_j convention of the graph
+    information: np.ndarray  # (6, 6)
+
+
+def propose_candidates(positions, new_idx, slam_cfg: SlamConfig) -> List[int]:
+    """Radius search over keyframe translations (reference candidate search
+    in KeyframeGraph; SURVEY.md §3.4). Excludes keyframes closer than
+    min_constraint_distance in graph index (those are covered by odometry
+    edges)."""
+    new_pos = positions[new_idx]
+    out = []
+    for k in range(new_idx):
+        if new_idx - k < slam_cfg.min_constraint_distance:
+            continue
+        if np.linalg.norm(positions[k] - new_pos) <= slam_cfg.new_constraint_search_radius:
+            out.append(k)
+    return out
+
+
+def _pad_batch(pyrs, T_inits, batch):
+    """Stack candidate pyramids to a fixed batch (pad by repeating row 0)."""
+    n = len(pyrs)
+    idx = list(range(n)) + [0] * (batch - n)
+    stacked = tuple(
+        jnp.stack([pyrs[i][lvl] for i in idx]) for lvl in range(len(pyrs[0]))
+    )
+    T = jnp.stack([jnp.asarray(T_inits[i], jnp.float32) for i in idx])
+    return stacked, T
+
+
+def _entropy_ratio(entropy, denominator):
+    """Signed entropy ratio (SURVEY.md §4.5). Entropies here are negative
+    (high information); quality degradation moves H toward zero, shrinking
+    the ratio."""
+    if denominator is None or denominator == 0.0 or not np.isfinite(denominator):
+        return 1.0
+    return float(entropy) / float(denominator)
+
+
+def validate_candidates(
+    candidates: List[ConstraintCandidate],
+    keyframe_pyramids,
+    keyframe_entropies,
+    new_pyramid,
+    Ks,
+    coarse_cfg: TrackerConfig,
+    fine_cfg: TrackerConfig,
+    slam_cfg: SlamConfig,
+) -> List[AcceptedConstraint]:
+    """Two-stage batched validation (reference ConstraintProposalValidator).
+
+    Args:
+      candidates: proposals from propose_candidates.
+      keyframe_pyramids: list of per-keyframe slab-pyramid tuples.
+      keyframe_entropies: per-keyframe reference entropy (tracking-history
+        average; the TrackingResultEvaluationVoter denominator).
+      new_pyramid: the new keyframe's pyramid.
+      Ks: per-level intrinsics.
+    """
+    if not candidates:
+        return []
+    B = slam_cfg.validation_batch
+    accepted: List[AcceptedConstraint] = []
+
+    for start in range(0, len(candidates), B):
+        chunk = candidates[start : start + B]
+        n = len(chunk)
+        pyrs = [keyframe_pyramids[c.keyframe_idx] for c in chunk]
+        T_fwd0 = [c.T_init for c in chunk]
+        T_bwd0 = [se3_np.inverse(c.T_init) for c in chunk]
+
+        refs, Tf = _pad_batch(pyrs, T_fwd0, B)
+        curs_new = tuple(jnp.broadcast_to(lvl, (B,) + lvl.shape) for lvl in new_pyramid)
+        _, Tb = _pad_batch(pyrs, T_bwd0, B)
+
+        # --- stage 1: coarse, both directions (two batched calls) ---
+        fwd = dense_tracker.track_pairs_batched(refs, curs_new, Ks, Tf, coarse_cfg)
+        bwd = dense_tracker.track_pairs_batched(curs_new, refs, Ks, Tb, coarse_cfg)
+
+        survivors = []
+        for k in range(n):
+            c = chunk[k]
+            if bool(fwd.is_nan()[k]) or bool(bwd.is_nan()[k]):
+                continue  # NaNResultVoter
+            T_f = np.asarray(fwd.transformation[k], np.float64)
+            T_b = np.asarray(bwd.transformation[k], np.float64)
+            # CrossValidationVoter: forward o backward ~ identity.
+            consistency = np.linalg.norm(se3_np.log(T_f @ T_b))
+            if consistency > slam_cfg.cross_validation_threshold:
+                continue
+            # TrackingResultEvaluationVoter (coarse threshold).
+            ratio = _entropy_ratio(
+                float(fwd.entropy[k]), keyframe_entropies[c.keyframe_idx]
+            )
+            if ratio < slam_cfg.min_entropy_ratio_coarse:
+                continue
+            if float(fwd.valid_ratio[k]) < slam_cfg.min_constraint_ratio:
+                continue  # ConstraintRatioVoter
+            survivors.append((k, c, T_f))
+
+        if not survivors:
+            continue
+
+        # --- stage 2: fine re-track of survivors, seeded by coarse pose ---
+        pyrs2 = [keyframe_pyramids[c.keyframe_idx] for _, c, _ in survivors]
+        T2 = [T for _, _, T in survivors]
+        refs2, Tf2 = _pad_batch(pyrs2, T2, B)
+        fine = dense_tracker.track_pairs_batched(refs2, curs_new, Ks, Tf2, fine_cfg)
+
+        for s, (_, c, _) in enumerate(survivors):
+            if bool(fine.is_nan()[s]):
+                continue
+            ratio = _entropy_ratio(
+                float(fine.entropy[s]), keyframe_entropies[c.keyframe_idx]
+            )
+            if ratio < slam_cfg.min_entropy_ratio_fine:
+                continue
+            if float(fine.valid_ratio[s]) < slam_cfg.min_constraint_ratio:
+                continue
+            # Tracker returns T: candidate-cam -> new-cam, i.e.
+            # p_new = T p_cand. Graph edge convention: Z = T_i^{-1} T_j with
+            # i = candidate, j = new, poses world<-cam: Z = inv(T).
+            measurement = se3_np.inverse(np.asarray(fine.transformation[s], np.float64))
+            accepted.append(
+                AcceptedConstraint(
+                    keyframe_idx=c.keyframe_idx,
+                    new_idx=c.new_idx,
+                    measurement=measurement,
+                    information=np.asarray(fine.information[s], np.float64),
+                )
+            )
+    return accepted

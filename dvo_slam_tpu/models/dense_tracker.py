@@ -95,17 +95,19 @@ def _weights_and_precision(r, valid, cfg: TrackerConfig, axis_name=None):
         w = valid.astype(dtype)
         return w, prec, robust.inv2x2(prec)
 
+    floor = jnp.asarray([cfg.min_intensity_sigma, cfg.min_depth_sigma], dtype)
     if cfg.scale_estimator == "tdist":
         sigma, prec = robust.tdist_covariance(
-            r, valid, dof=cfg.tdist_dof, iters=cfg.tdist_scale_iters, axis_name=axis_name
+            r, valid, dof=cfg.tdist_dof, iters=cfg.tdist_scale_iters,
+            axis_name=axis_name, floor=floor,
         )
         w = robust.tdist_weights(r, prec, valid, dof=cfg.tdist_dof)
         return w, sigma, prec
 
-    # Scalar per-channel scales -> diagonal Sigma.
+    # Scalar per-channel scales -> diagonal Sigma (with the same noise floor).
     scale_fn = robust.SCALE_FNS[cfg.scale_estimator]
-    s_i = scale_fn(r[:, 0], valid)
-    s_z = scale_fn(r[:, 1], valid)
+    s_i = jnp.maximum(scale_fn(r[:, 0], valid), floor[0])
+    s_z = jnp.maximum(scale_fn(r[:, 1], valid), floor[1])
     sigma = jnp.diag(jnp.stack([s_i * s_i, s_z * s_z]))
     prec = robust.inv2x2(sigma)
     maha = jnp.sqrt(jnp.einsum("ni,ij,nj->n", r, prec, r))
@@ -144,7 +146,21 @@ def _linearize(points, i1, selected, cur_slab, K, T, cfg, axis_name=None, sample
     b = _psum(b, axis_name)
     err = _psum(err, axis_name)
     n_valid = _psum(n_valid, axis_name)
-    err_mean = err / jnp.maximum(n_valid, 1.0)
+    if cfg.use_weighting and cfg.scale_estimator == "tdist":
+        # Acceptance metric: mean t-dist NLL. The weighted squared error is
+        # scale-invariant under the per-iteration Sigma re-estimate and
+        # carries no signal (see robust.tdist_nll_mean docstring).
+        err_mean = robust.tdist_nll_mean(
+            r, sigma, prec, valid, dof=cfg.tdist_dof, axis_name=axis_name
+        )
+    elif cfg.use_weighting:
+        # Scalar-robust path: same scale-invariance issue — add the
+        # log-det term of the (diagonal) Sigma estimate.
+        det = sigma[0, 0] * sigma[1, 1] if cfg.use_depth else sigma[0, 0]
+        err_mean = err / jnp.maximum(n_valid, 1.0) + jnp.log(jnp.maximum(det, 1e-12))
+    else:
+        # Unweighted: P is fixed, the weighted error is a true objective.
+        err_mean = err / jnp.maximum(n_valid, 1.0)
     return {
         "A": A,
         "b": b,
@@ -261,11 +277,20 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
     level_data = {}
     for lvl in levels:
         ref_slab = ref_pyr[lvl]
+        # Pixel sharding: the reference slab is row-sharded along
+        # `axis_name`; shift pixel coordinates to this shard's rows. The
+        # current slab stays replicated (warps cross shard boundaries).
+        row_offset = (
+            jax.lax.axis_index(axis_name) * ref_slab.shape[0]
+            if axis_name is not None
+            else 0
+        )
         points, i1, selected = residuals.reference_points(
             ref_slab,
             Ks[lvl],
             intensity_grad_threshold=cfg.intensity_grad_threshold,
             depth_grad_threshold=cfg.depth_grad_threshold,
+            row_offset=row_offset,
         )
         level_data[lvl] = (points, i1, selected)
 

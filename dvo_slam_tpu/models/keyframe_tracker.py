@@ -1,0 +1,349 @@
+"""Keyframe-based SLAM orchestration — the public SLAM entry point.
+
+TPU-native equivalent of the reference's dvo_slam layer (SURVEY.md §2.2,
+§3.3): the facade mirrors KeyframeTracker
+(dvo_slam/src/keyframe_tracker.cpp: init / update / forceKeyframe /
+finish), internally fusing:
+
+  * LocalTracker (dvo_slam/src/local_tracker.cpp): the reference runs the
+    current frame against the active keyframe AND the previous frame as two
+    TBB tasks; here it is ONE batched (vmap) tracker call with batch dim 2.
+  * TrackingResultEvaluation: entropy-ratio keyframe selection
+    (IROS13 §IV, SURVEY.md §4.5) with the first-frame-after-keyframe
+    denominator (ratioWithFirst).
+  * LocalMap (dvo_slam/src/local_map.cpp): per-frame relative poses
+    against the active keyframe, handed to the global graph on keyframe
+    switch.
+  * KeyframeGraph (dvo_slam/src/keyframe_graph.cpp): keyframe vertices +
+    odometry and validated loop-closure edges, optimized on device by
+    models/pose_graph.py (the g2o replacement). The reference optimizes on
+    a background thread so tracking never blocks; JAX's async dispatch
+    gives the same overlap — the jitted optimize launches without blocking
+    the host, which immediately proceeds to the next frame's tracking.
+
+Host responsibilities (this file) are bookkeeping only: pose chains in
+f64 NumPy, keyframe records, edge lists. All dense math stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.models import constraints, dense_tracker, pose_graph
+from dvo_slam_tpu.ops import camera, pyramid
+from dvo_slam_tpu.utils import se3_np
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """Host record (reference dvo_slam/include/dvo_slam/keyframe.h)."""
+
+    idx: int
+    timestamp: float
+    pyramid: tuple  # device slab pyramid
+    entropy_first: Optional[float] = None  # H of first frame tracked vs this kf
+    entropy_sum: float = 0.0
+    entropy_count: int = 0
+
+    @property
+    def entropy_avg(self) -> Optional[float]:
+        if self.entropy_count == 0:
+            return self.entropy_first
+        return self.entropy_sum / self.entropy_count
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    timestamp: float
+    keyframe_idx: int
+    T_kf_frame: np.ndarray  # (4, 4) frame-cam <- kf-cam ... stored as kf->frame
+
+
+class KeyframeSlam:
+    """Full SLAM pipeline: dense keyframe odometry + pose-graph backend.
+
+    Equivalent public surface to the reference KeyframeTracker:
+    init(pose) / update(intensity, depth, t) -> pose / force_keyframe() /
+    finish() -> optimized trajectory.
+    """
+
+    def __init__(
+        self,
+        K,
+        tracker_cfg: TrackerConfig = TrackerConfig(),
+        slam_cfg: SlamConfig = SlamConfig(),
+        enable_loop_closure: bool = True,
+    ):
+        self.tracker_cfg = tracker_cfg
+        self.slam_cfg = slam_cfg
+        self.enable_loop_closure = enable_loop_closure
+        self.K = camera.intrinsics(*K) if not hasattr(K, "shape") else jnp.asarray(K)
+        self.Ks = camera.pyramid_intrinsics(self.K, tracker_cfg.num_levels)
+        # Loop-closure validation configs (coarse stage tracks only the
+        # coarsest levels, reference two-stage validation).
+        self.coarse_cfg = dataclasses.replace(
+            tracker_cfg,
+            first_level=min(slam_cfg.coarse_first_level, tracker_cfg.num_levels - 1),
+            last_level=min(slam_cfg.coarse_last_level, tracker_cfg.num_levels - 1),
+            max_iterations=25,
+        )
+        self.fine_cfg = tracker_cfg
+
+        # Global graph (device, padded) + host mirrors.
+        self.graph = pose_graph.empty_graph(slam_cfg.max_keyframes, slam_cfg.max_edges)
+        self.kf_poses: List[np.ndarray] = []  # world <- keyframe, f64 host mirror
+        self.keyframes: List[Keyframe] = []
+        self.frames: List[FrameRecord] = []
+        self.num_loop_edges = 0
+
+        # Per-frame tracking state.
+        self._prev_pyr = None
+        self._T_kf_prev = np.eye(4)  # prev-cam <- kf-cam (i.e. kf -> prev)
+        self._initialized = False
+        self._force_next = False
+
+    # ------------------------------------------------------------------
+    # public API (reference KeyframeTracker)
+    # ------------------------------------------------------------------
+
+    def init(self, T0: Optional[np.ndarray] = None):
+        """Set the world pose of the first camera (reference init(pose))."""
+        self._T0 = np.eye(4) if T0 is None else np.asarray(T0, np.float64)
+
+    def force_keyframe(self):
+        """Promote the next frame to a keyframe (reference forceKeyframe)."""
+        self._force_next = True
+
+    def update(self, intensity, depth, timestamp: float) -> np.ndarray:
+        """Track one RGB-D frame; returns the current world pose (4, 4) f64."""
+        pyr = self._build_pyramid(intensity, depth)
+        if not self._initialized:
+            if not hasattr(self, "_T0"):
+                self.init()
+            self._add_keyframe(pyr, timestamp, self._T0, None, None)
+            self._prev_pyr = pyr
+            self._T_kf_prev = np.eye(4)
+            self._initialized = True
+            self.frames.append(FrameRecord(timestamp, 0, np.eye(4)))
+            return self._T0.copy()
+
+        kf = self.keyframes[-1]
+        # --- LocalTracker: dual alignment as one batched call ---
+        refs = tuple(
+            jnp.stack([kf_lvl, prev_lvl])
+            for kf_lvl, prev_lvl in zip(kf.pyramid, self._prev_pyr)
+        )
+        inits = jnp.stack(
+            [jnp.asarray(self._T_kf_prev, jnp.float32), jnp.eye(4, dtype=jnp.float32)]
+        )
+        res = dense_tracker.track_batched(refs, pyr, self.Ks, inits, self.tracker_cfg)
+        r_kf_T = np.asarray(res.transformation[0], np.float64)
+        r_odo_T = np.asarray(res.transformation[1], np.float64)
+        kf_nan = bool(res.is_nan()[0])
+        odo_nan = bool(res.is_nan()[1])
+        kf_entropy = float(res.entropy[0])
+        kf_valid_ratio = float(res.valid_ratio[0])
+
+        # --- acceptance criteria (reference LocalTracker signals) ---
+        accept = (not kf_nan) and kf_valid_ratio >= self.slam_cfg.min_constraint_ratio
+
+        # --- entropy-ratio keyframe decision (ratioWithFirst) ---
+        if accept and kf.entropy_first is None:
+            kf.entropy_first = kf_entropy
+        ratio = 1.0
+        if accept and kf.entropy_first is not None and kf.entropy_first != 0.0:
+            ratio = kf_entropy / kf.entropy_first
+        switch = (
+            self._force_next
+            or not accept
+            or ratio < self.slam_cfg.min_entropy_ratio
+        )
+        self._force_next = False
+
+        if not switch:
+            kf.entropy_sum += kf_entropy
+            kf.entropy_count += 1
+            T_kf_cur = r_kf_T
+            self._T_kf_prev = T_kf_cur
+            self._prev_pyr = pyr
+            self.frames.append(FrameRecord(timestamp, kf.idx, T_kf_cur.copy()))
+            return self._world_pose(kf.idx, T_kf_cur)
+
+        # --- keyframe switch: current frame becomes the new keyframe ---
+        if accept:
+            Z_new = r_kf_T  # new-cam <- kf-cam
+            info = np.asarray(res.information[0], np.float64)
+        elif not odo_nan:
+            # Tracking-failure fallback: chain previous kf-relative pose
+            # with the frame-to-frame odometry result (graceful
+            # degradation, SURVEY.md §6 failure handling).
+            Z_new = r_odo_T @ self._T_kf_prev
+            info = np.asarray(res.information[1], np.float64)
+        else:
+            # Total failure: keep last relative pose (constant position).
+            Z_new = self._T_kf_prev
+            info = np.eye(6) * 1e2
+
+        T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
+        self._add_keyframe(pyr, timestamp, T_w_new, kf.idx, (Z_new, info))
+        new_kf = self.keyframes[-1]
+
+        if self.enable_loop_closure:
+            self._search_loop_closures(new_kf)
+        self._optimize(self.slam_cfg.optimization_iterations)
+
+        self._prev_pyr = pyr
+        self._T_kf_prev = np.eye(4)
+        self.frames.append(FrameRecord(timestamp, new_kf.idx, np.eye(4)))
+        return self._world_pose(new_kf.idx, np.eye(4))
+
+    def finish(self) -> List[Tuple[float, np.ndarray]]:
+        """Final optimization + full-trajectory interpolation (reference
+        KeyframeGraph::finalOptimization + pose composition, SURVEY.md §3.4).
+        """
+        if self.slam_cfg.remove_outliers and self.num_loop_edges > 0:
+            self._prune_outlier_edges()
+        self._optimize(self.slam_cfg.final_optimization_iterations)
+        return self.trajectory()
+
+    def trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        """Current full trajectory: optimized keyframe poses composed with
+        per-frame relative poses."""
+        return [
+            (f.timestamp, self._world_pose(f.keyframe_idx, f.T_kf_frame))
+            for f in self.frames
+        ]
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _build_pyramid(self, intensity, depth):
+        return pyramid.build_pyramid(
+            jnp.asarray(intensity, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+            self.tracker_cfg.num_levels,
+        )
+
+    def _world_pose(self, kf_idx: int, T_kf_frame: np.ndarray) -> np.ndarray:
+        """T_w_frame = T_w_kf o inv(T_kf_frame) with T_kf_frame: frame<-kf."""
+        return self.kf_poses[kf_idx] @ se3_np.inverse(T_kf_frame)
+
+    def _add_keyframe(self, pyr, timestamp, T_w, parent_idx, edge):
+        idx = len(self.keyframes)
+        if idx >= self.slam_cfg.max_keyframes:
+            raise RuntimeError(
+                f"keyframe capacity {self.slam_cfg.max_keyframes} exceeded; "
+                "raise SlamConfig.max_keyframes"
+            )
+        self.keyframes.append(Keyframe(idx=idx, timestamp=timestamp, pyramid=pyr))
+        self.kf_poses.append(np.asarray(T_w, np.float64))
+        self.graph = self.graph._replace(
+            poses=self.graph.poses.at[idx].set(jnp.asarray(T_w, jnp.float32)),
+            num_vertices=jnp.asarray(idx + 1, jnp.int32),
+        )
+        if parent_idx is not None:
+            Z, info = edge
+            self._add_edge(parent_idx, idx, se3_np.inverse(Z), info)
+
+    def _add_edge(self, i: int, j: int, Z: np.ndarray, info: np.ndarray):
+        """Z convention: T_i^{-1} T_j (maps j-cam coords into i-cam)."""
+        e = int(self.graph.num_edges)
+        if e >= self.slam_cfg.max_edges:
+            raise RuntimeError(
+                f"edge capacity {self.slam_cfg.max_edges} exceeded; raise "
+                "SlamConfig.max_edges"
+            )
+        self.graph = self.graph._replace(
+            edge_i=self.graph.edge_i.at[e].set(i),
+            edge_j=self.graph.edge_j.at[e].set(j),
+            measurements=self.graph.measurements.at[e].set(jnp.asarray(Z, jnp.float32)),
+            information=self.graph.information.at[e].set(jnp.asarray(info, jnp.float32)),
+            edge_mask=self.graph.edge_mask.at[e].set(True),
+            num_edges=jnp.asarray(e + 1, jnp.int32),
+        )
+
+    def _search_loop_closures(self, new_kf: Keyframe):
+        positions = np.stack([T[:3, 3] for T in self.kf_poses])
+        cand_idx = constraints.propose_candidates(positions, new_kf.idx, self.slam_cfg)
+        if not cand_idx:
+            return
+        cands = []
+        T_w_new = self.kf_poses[new_kf.idx]
+        for k in cand_idx:
+            T_init = se3_np.inverse(T_w_new) @ self.kf_poses[k]  # new<-cand... see below
+            # Tracker wants T: cand-cam -> new-cam (p_new = T p_cand):
+            # T = inv(T_w_new) @ T_w_cand.
+            cands.append(
+                constraints.ConstraintCandidate(
+                    keyframe_idx=k, new_idx=new_kf.idx, T_init=T_init
+                )
+            )
+        entropies = [kf.entropy_avg for kf in self.keyframes]
+        accepted = constraints.validate_candidates(
+            cands,
+            [kf.pyramid for kf in self.keyframes],
+            entropies,
+            new_kf.pyramid,
+            self.Ks,
+            self.coarse_cfg,
+            self.fine_cfg,
+            self.slam_cfg,
+        )
+        for a in accepted:
+            self._add_edge(a.keyframe_idx, a.new_idx, a.measurement, a.information)
+        self.num_loop_edges += len(accepted)
+
+    def _optimize(self, iterations: int):
+        if len(self.keyframes) < 2 or int(self.graph.num_edges) == 0:
+            return
+        self.graph, chi2, _ = pose_graph.optimize(
+            self.graph,
+            iterations=iterations,
+            use_robust=self.slam_cfg.use_robust_kernel,
+            cauchy_c=self.slam_cfg.cauchy_c,
+            # Fresh loop-closure edges carry drift-sized residuals at
+            # insertion; a modest GNC anneal lets them act before the
+            # kernel tightens (see pose_graph.optimize docstring).
+            gnc_init=16.0,
+        )
+        poses = np.asarray(self.graph.poses, np.float64)
+        for k in range(len(self.kf_poses)):
+            self.kf_poses[k] = _renormalize(poses[k])
+
+    def _prune_outlier_edges(self):
+        """Drop loop edges whose robust weight collapsed (reference
+        OptimizationRemoveOutliers + OutlierWeightThreshold)."""
+        _, _, weights = pose_graph.optimize(
+            self.graph,
+            iterations=1,
+            use_robust=self.slam_cfg.use_robust_kernel,
+            cauchy_c=self.slam_cfg.cauchy_c,
+        )
+        w = np.asarray(weights)
+        mask = np.array(self.graph.edge_mask)  # writable host copy
+        ei = np.asarray(self.graph.edge_i)
+        ej = np.asarray(self.graph.edge_j)
+        for e in range(int(self.graph.num_edges)):
+            consecutive = abs(int(ej[e]) - int(ei[e])) == 1
+            if mask[e] and not consecutive and w[e] < self.slam_cfg.outlier_weight_threshold:
+                mask[e] = False
+        self.graph = self.graph._replace(edge_mask=jnp.asarray(mask))
+
+
+def _renormalize(T: np.ndarray) -> np.ndarray:
+    """Re-orthonormalize a rotation block drifting in f32 (SVD projection)."""
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    out = np.eye(4)
+    out[:3, :3] = R
+    out[:3, 3] = T[:3, 3]
+    return out

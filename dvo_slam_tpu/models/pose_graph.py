@@ -1,0 +1,234 @@
+"""Batched device-resident SE(3) pose-graph optimizer — the g2o replacement.
+
+TPU-native equivalent of the reference's global backend
+(dvo_slam/src/keyframe_graph.cpp: g2o SparseOptimizer with VertexSE3 /
+EdgeSE3, Levenberg-Marquardt, CSparse/Cholmod linear solver, optional Cauchy
+robust kernel; SURVEY.md §4.6). Keyframe graphs here are small (tens to a
+few hundred vertices), so instead of a sparse host solver the whole problem
+lives on device with fixed padded shapes:
+
+  * vertices: (M, 4, 4) poses, first vertex gauge-fixed by a strong prior;
+  * edges: (E,) index pairs + (E, 4, 4) relative measurements + (E, 6, 6)
+    information matrices + validity mask;
+  * per-edge residual e = log(Z^{-1} T_i^{-1} T_j), Jacobians by forward-
+    mode autodiff (exact, vmapped — no hand-derived approximations);
+  * dense 6M x 6M Gauss-Newton system assembled by scatter-add, solved by
+    Cholesky; adaptive Levenberg-Marquardt with accept/reject on robust
+    chi^2 inside a lax.while_loop.
+
+Dynamic graph growth is handled by padding (SURVEY.md §8.3.5): the jitted
+solver never recompiles as keyframes/edges are added, because shapes are
+fixed at (max_keyframes, max_edges).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dvo_slam_tpu.ops import se3
+
+_GAUGE_WEIGHT = 1e6
+_JITTER = 1e-6
+
+
+class PoseGraph(NamedTuple):
+    """Padded pose-graph state (a pytree; device-resident)."""
+
+    poses: jnp.ndarray  # (M, 4, 4) vertex poses (world <- keyframe)
+    num_vertices: jnp.ndarray  # () int32
+    edge_i: jnp.ndarray  # (E,) int32 source vertex
+    edge_j: jnp.ndarray  # (E,) int32 target vertex
+    measurements: jnp.ndarray  # (E, 4, 4) Z: T_i^{-1} T_j measured
+    information: jnp.ndarray  # (E, 6, 6)
+    edge_mask: jnp.ndarray  # (E,) bool
+    num_edges: jnp.ndarray  # () int32
+
+
+def empty_graph(max_vertices: int, max_edges: int) -> PoseGraph:
+    return PoseGraph(
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (max_vertices, 1, 1)),
+        num_vertices=jnp.asarray(0, jnp.int32),
+        edge_i=jnp.zeros(max_edges, jnp.int32),
+        edge_j=jnp.zeros(max_edges, jnp.int32),
+        measurements=jnp.tile(jnp.eye(4, dtype=jnp.float32), (max_edges, 1, 1)),
+        information=jnp.tile(jnp.eye(6, dtype=jnp.float32), (max_edges, 1, 1)),
+        edge_mask=jnp.zeros(max_edges, bool),
+        num_edges=jnp.asarray(0, jnp.int32),
+    )
+
+
+def edge_residual(T_i, T_j, Z):
+    """e = log(Z^{-1} T_i^{-1} T_j) in R^6 (SURVEY.md §4.6)."""
+    return se3.log(se3.inverse(Z) @ se3.inverse(T_i) @ T_j)
+
+
+def _edge_residual_and_jacobians(T_i, T_j, Z):
+    """Residual + exact Jacobians wrt LEFT increments on T_i and T_j.
+
+    e(d_i, d_j) = log(Z^{-1} (exp(d_i) T_i)^{-1} exp(d_j) T_j)
+    Forward-mode autodiff at (0, 0) — replaces g2o's hand-approximated
+    EdgeSE3 Jacobians with exact ones (12 JVP columns per edge, vmapped).
+    """
+
+    def f(d):
+        d_i, d_j = d[:6], d[6:]
+        return edge_residual(se3.exp(d_i) @ T_i, se3.exp(d_j) @ T_j, Z)
+
+    e = edge_residual(T_i, T_j, Z)
+    J = jax.jacfwd(f)(jnp.zeros(12, dtype=T_i.dtype))  # (6, 12)
+    return e, J[:, :6], J[:, 6:]
+
+
+def _robust_edge_weight(chi2, cauchy_c, use_robust):
+    """Cauchy IRLS weight rho'(s) = 1 / (1 + s / c^2)."""
+    w = 1.0 / (1.0 + chi2 / (cauchy_c * cauchy_c))
+    return jnp.where(use_robust, w, jnp.ones_like(w))
+
+
+def _build_system(graph: PoseGraph, use_robust, cauchy_c):
+    """Assemble H (6M, 6M), g (6M,), total robust chi2, per-edge weights."""
+    M = graph.poses.shape[0]
+
+    def per_edge(i, j, Z, info, mask):
+        e, Ji, Jj = _edge_residual_and_jacobians(graph.poses[i], graph.poses[j], Z)
+        chi2 = e @ info @ e
+        w = _robust_edge_weight(chi2, cauchy_c, use_robust) * mask
+        return e, Ji, Jj, chi2, w
+
+    e, Ji, Jj, chi2, w = jax.vmap(per_edge)(
+        graph.edge_i, graph.edge_j, graph.measurements, graph.information,
+        graph.edge_mask.astype(graph.poses.dtype),
+    )
+    winfo = w[:, None, None] * graph.information  # (E, 6, 6)
+
+    # Blocks.
+    hp = jax.lax.Precision.HIGHEST
+    Hii = jnp.einsum("eai,eab,ebj->eij", Ji, winfo, Ji, precision=hp)
+    Hjj = jnp.einsum("eai,eab,ebj->eij", Jj, winfo, Jj, precision=hp)
+    Hij = jnp.einsum("eai,eab,ebj->eij", Ji, winfo, Jj, precision=hp)
+    gi = jnp.einsum("eai,eab,eb->ei", Ji, winfo, e, precision=hp)
+    gj = jnp.einsum("eai,eab,eb->ei", Jj, winfo, e, precision=hp)
+
+    H = jnp.zeros((M, M, 6, 6), dtype=graph.poses.dtype)
+    H = H.at[graph.edge_i, graph.edge_i].add(Hii)
+    H = H.at[graph.edge_j, graph.edge_j].add(Hjj)
+    H = H.at[graph.edge_i, graph.edge_j].add(Hij)
+    H = H.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(Hij, -1, -2))
+    g = jnp.zeros((M, 6), dtype=graph.poses.dtype)
+    g = g.at[graph.edge_i].add(gi)
+    g = g.at[graph.edge_j].add(gj)
+
+    # Gauge fix: strong prior on vertex 0 (g2o setFixed equivalent).
+    H = H.at[0, 0].add(_GAUGE_WEIGHT * jnp.eye(6, dtype=H.dtype))
+    # Inactive (padded) vertices get identity diagonal blocks so the
+    # Cholesky factorization stays SPD.
+    vid = jnp.arange(M)
+    inactive = (vid >= graph.num_vertices).astype(H.dtype)
+    H = H.at[vid, vid].add(inactive[:, None, None] * jnp.eye(6, dtype=H.dtype))
+
+    H_flat = H.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
+    g_flat = g.reshape(6 * M)
+    total_chi2 = (w * chi2).sum()
+    return H_flat, g_flat, total_chi2, w
+
+
+def _apply_delta(poses, delta, num_vertices):
+    """Left-multiply per-vertex increments, masked to active vertices."""
+    M = poses.shape[0]
+    active = (jnp.arange(M) < num_vertices)[:, None]
+    d = jnp.where(active, delta.reshape(M, 6), 0.0)
+    return jax.vmap(lambda dd, T: se3.exp(dd) @ T)(d, poses)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "use_robust"))
+def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
+             cauchy_c: float = 1.0, gnc_init: float = 1.0,
+             gnc_decay: float = 0.5):
+    """Levenberg-Marquardt over the padded pose graph.
+
+    gnc_init > 1 anneals the robustness (graduated non-convexity): the
+    Cauchy width starts at gnc_init * cauchy_c and decays by gnc_decay per
+    iteration down to cauchy_c. Plain Cauchy (gnc_init=1, the g2o/reference
+    semantics) crushes a CORRECT loop-closure edge whose residual is large
+    at initialization (accumulated odometry drift — exactly what loop
+    closure exists to fix); annealing lets big consistent errors pull
+    early while true outliers are still rejected once the kernel tightens.
+    The trade-off: annealing also lets a false edge with overwhelming
+    information drag the graph before rejection kicks in, so upstream
+    validation (models/constraints.py) remains the primary outlier filter
+    and gnc_init should stay modest for interleaved per-insertion solves.
+
+    Returns (optimized PoseGraph, final chi2, per-edge robust weights at
+    the base cauchy_c). Equivalent of KeyframeGraph's interleaved g2o
+    optimize() calls; run with a larger iteration count for
+    finalOptimization().
+    """
+    dtype = graph.poses.dtype
+    M = graph.poses.shape[0]
+
+    def cond(carry):
+        return (carry["k"] < iterations) & ~carry["done"]
+
+    def body(carry):
+        g_cur = carry["graph"]
+        anneal = jnp.maximum(
+            1.0, gnc_init * gnc_decay ** carry["k"].astype(dtype)
+        )
+        c_eff = cauchy_c * anneal
+        H, g, chi2, _ = _build_system(g_cur, use_robust, c_eff)
+        damped = H + carry["lam"] * jnp.diag(jnp.diagonal(H)) + _JITTER * jnp.eye(
+            6 * M, dtype=dtype
+        )
+        L, low = jax.scipy.linalg.cho_factor(damped, lower=True)
+        delta = jax.scipy.linalg.cho_solve((L, low), -g)
+        delta = jnp.where(jnp.isfinite(delta).all(), delta, jnp.zeros_like(delta))
+        new_poses = _apply_delta(g_cur.poses, delta, g_cur.num_vertices)
+        g_new = g_cur._replace(poses=new_poses)
+        _, _, chi2_new, _ = _build_system(g_new, use_robust, c_eff)
+
+        accept = chi2_new <= chi2
+        graph_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), g_new, g_cur
+        )
+        lam = jnp.where(accept, carry["lam"] * 0.5, carry["lam"] * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        step = jnp.linalg.norm(delta)
+        # Don't stop while the robust kernel is still annealing.
+        done = accept & (step < 1e-8) & (anneal <= 1.0)
+        return {
+            "graph": graph_next,
+            "lam": lam,
+            "k": carry["k"] + 1,
+            "done": done,
+            "chi2": jnp.where(accept, chi2_new, chi2),
+        }
+
+    init = {
+        "graph": graph,
+        "lam": jnp.asarray(1e-6, dtype),
+        "k": jnp.asarray(0, jnp.int32),
+        "done": jnp.asarray(False, bool),
+        "chi2": jnp.asarray(jnp.inf, dtype),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    final_graph = out["graph"]
+    _, _, chi2, weights = _build_system(final_graph, use_robust, cauchy_c)
+    return final_graph, chi2, weights
+
+
+@jax.jit
+def edge_chi2(graph: PoseGraph):
+    """Per-edge (unweighted) chi^2 — outlier-pruning diagnostics
+    (reference OptimizationRemoveOutliers path)."""
+
+    def per_edge(i, j, Z, info):
+        e = edge_residual(graph.poses[i], graph.poses[j], Z)
+        return e @ info @ e
+
+    return jax.vmap(per_edge)(
+        graph.edge_i, graph.edge_j, graph.measurements, graph.information
+    )

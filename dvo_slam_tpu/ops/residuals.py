@@ -24,17 +24,23 @@ from dvo_slam_tpu.ops import camera, interp
 from dvo_slam_tpu.ops import pyramid as pyr
 
 
-def reference_points(ref_slab, K, intensity_grad_threshold=0.0, depth_grad_threshold=0.0):
+def reference_points(ref_slab, K, intensity_grad_threshold=0.0, depth_grad_threshold=0.0,
+                     row_offset=0):
     """Extract the reference-frame quantities the IRLS loop needs.
 
     Equivalent of PointSelection + RgbdImage::buildPointCloud
     (dvo_core/src/core/point_selection.cpp): valid depth plus optional
     |grad I| / |grad Z| thresholds, as a mask over the full pixel grid.
 
+    `row_offset` shifts the pixel-grid v coordinate — used when the
+    reference image is row-sharded across a mesh axis and this shard holds
+    rows [row_offset, row_offset + H).
+
     Returns (points (N,3), intensity (N,), selected (N,)) with N = H*W.
     """
     H, W, _ = ref_slab.shape
     u, v = camera.pixel_grid(H, W, dtype=ref_slab.dtype)
+    v = v + row_offset
     z = ref_slab[..., pyr.CH_Z].reshape(-1)
     i1 = ref_slab[..., pyr.CH_I].reshape(-1)
     points = camera.backproject(z, u, v, K)

@@ -115,7 +115,7 @@ INFLUENCE_FNS = {
 # ---------------------------------------------------------------------------
 
 
-def tdist_covariance(r, mask, dof=5.0, iters=5, axis_name=None):
+def tdist_covariance(r, mask, dof=5.0, iters=5, axis_name=None, floor=None):
     """Fixed-point estimate of the 2x2 t-distribution scale matrix.
 
     Sigma <- (1/n) sum_i w_i(Sigma) r_i r_i^T,
@@ -127,16 +127,27 @@ def tdist_covariance(r, mask, dof=5.0, iters=5, axis_name=None):
 
     When `axis_name` is given, the N dimension is assumed sharded over that
     mesh axis and every sum is a psum (pixel-sharded tracking).
+
+    `floor`: optional (2,) per-channel minimum standard deviations added in
+    quadrature to the diagonal every fixed-point step — the sensor-noise
+    floor that keeps Sigma from collapsing on noise-free residuals (see
+    TrackerConfig.min_intensity_sigma / min_depth_sigma).
     """
     def _reduce(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    if floor is None:
+        reg = _EPS * jnp.eye(2, dtype=r.dtype)
+    else:
+        floor = jnp.asarray(floor, r.dtype)
+        reg = jnp.diag(floor * floor) + _EPS * jnp.eye(2, dtype=r.dtype)
 
     m = mask.astype(r.dtype)
     count = jnp.maximum(_reduce(m.sum()), 1.0)
     rr = r[:, :, None] * r[:, None, :]  # (N, 2, 2)
     rr = rr * m[:, None, None]
 
-    sigma0 = _reduce(rr.sum(axis=0)) / count + _EPS * jnp.eye(2, dtype=r.dtype)
+    sigma0 = _reduce(rr.sum(axis=0)) / count + reg
 
     def body(_, sigma):
         prec = inv2x2(sigma)
@@ -144,7 +155,7 @@ def tdist_covariance(r, mask, dof=5.0, iters=5, axis_name=None):
         w = (dof + 2.0) / (dof + maha)
         w = w * m
         sigma_new = _reduce((w[:, None, None] * rr).sum(axis=0)) / count
-        return sigma_new + _EPS * jnp.eye(2, dtype=r.dtype)
+        return sigma_new + reg
 
     sigma = jax.lax.fori_loop(0, iters, body, sigma0)
     return sigma, inv2x2(sigma)
@@ -163,6 +174,30 @@ def inv2x2(a):
     det = jnp.where(jnp.abs(det) < _EPS, _EPS, det)
     inv = jnp.array([[a[1, 1], -a[0, 1]], [-a[1, 0], a[0, 0]]], dtype=a.dtype)
     return inv / det
+
+
+def tdist_nll_mean(r, sigma, prec, mask, dof=5.0, axis_name=None):
+    """Mean per-point negative log-likelihood (constants dropped).
+
+    nll_i = 0.5 ln det Sigma + (dof+2)/2 * log1p(maha_i / dof)
+
+    This is the correct iteration-acceptance metric for the IRLS loop: the
+    weighted squared error sum w_i r_i^T Sigma^{-1} r_i is scale-INVARIANT
+    (Sigma is re-estimated from the same residuals each iteration, so that
+    quantity hovers near a constant regardless of fit quality) — the
+    ln det Sigma term is what actually decreases as the alignment improves.
+    """
+    def _reduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    m = mask.astype(r.dtype)
+    count = jnp.maximum(_reduce(m.sum()), 1.0)
+    maha = jnp.einsum("ni,ij,nj->n", r, prec, r)
+    det = sigma[0, 0] * sigma[1, 1] - sigma[0, 1] * sigma[1, 0]
+    per_point = 0.5 * jnp.log(jnp.maximum(det, _EPS)) + (dof + 2.0) / 2.0 * jnp.log1p(
+        maha / dof
+    )
+    return _reduce((per_point * m).sum()) / count
 
 
 def tdist_log_likelihood(r, sigma, mask, dof=5.0):

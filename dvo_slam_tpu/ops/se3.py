@@ -90,18 +90,27 @@ def exp(xi):
 
 def log_so3(R):
     """SO(3) logarithm: (..., 3, 3) -> (..., 3). Safe for small angles;
-    accurate up to theta ~ pi - 1e-3 (pose increments here are small)."""
+    accurate up to theta ~ pi - 1e-3 (pose increments here are small).
+
+    Autodiff-safe at the identity: both branches are parameterized by
+    u = 1 - cos(theta), whose tangent is polynomial there. (A naive
+    arccos-based small branch has d(arccos)/dc = -inf at c = 1, which
+    jacfwd propagates as NaN through the *selected* branch — this is how
+    pose-graph Jacobians of exactly-consistent edges die.)
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    theta_sq = theta * theta
-    small = theta_sq < 1e-8
-    safe_t = jnp.where(small, jnp.ones_like(theta), theta)
-    # w = theta / (2 sin theta) * vee(R - R^T)
+    u = jnp.clip((3.0 - trace) * 0.5, 0.0, 2.0)  # u = 1 - cos(theta)
+    small = u < 1e-6
+    u_safe = jnp.where(small, jnp.ones_like(u), u)
+    theta = jnp.arccos(1.0 - u_safe)
+    sin_theta = jnp.sqrt(u_safe * (2.0 - u_safe))
+    # theta / (2 sin theta); small-angle: theta^2 = 2u + u^2/3 + O(u^3),
+    # factor = 0.5 + theta^2/12 + 7 theta^4/720.
+    theta_sq_small = 2.0 * u + u * u / 3.0
     factor = jnp.where(
         small,
-        0.5 + theta_sq / 12.0,
-        safe_t / (2.0 * jnp.sin(safe_t)),
+        0.5 + theta_sq_small / 12.0 + 7.0 * theta_sq_small * theta_sq_small / 720.0,
+        theta / (2.0 * sin_theta),
     )
     return factor[..., None] * vee(R - jnp.swapaxes(R, -1, -2))
 

@@ -1,0 +1,122 @@
+"""SLAM state checkpoint / resume.
+
+The reference has no mid-run checkpointing (SURVEY.md §6) — trajectories are
+only serialized at the end. This is a deliberate capability upgrade: the
+full KeyframeSlam state (pose graph, keyframe poses/metadata, per-frame
+records, tracking state) saves to one .npz so long sequences are resumable
+and results are inspectable offline. Keyframe image pyramids are included
+(they are required for future loop-closure validation against resumed
+keyframes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def save_slam(path: str, slam) -> None:
+    """Serialize a models.keyframe_tracker.KeyframeSlam to .npz."""
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+
+    assert isinstance(slam, KeyframeSlam)
+    num_levels = slam.tracker_cfg.num_levels
+    data = {
+        "version": np.asarray(_FORMAT_VERSION),
+        "num_keyframes": np.asarray(len(slam.keyframes)),
+        "num_loop_edges": np.asarray(slam.num_loop_edges),
+        "kf_poses": np.stack(slam.kf_poses) if slam.kf_poses else np.zeros((0, 4, 4)),
+        "kf_timestamps": np.asarray([k.timestamp for k in slam.keyframes]),
+        "kf_entropy_first": np.asarray(
+            [k.entropy_first if k.entropy_first is not None else np.nan
+             for k in slam.keyframes]
+        ),
+        "kf_entropy_sum": np.asarray([k.entropy_sum for k in slam.keyframes]),
+        "kf_entropy_count": np.asarray([k.entropy_count for k in slam.keyframes]),
+        "frame_timestamps": np.asarray([f.timestamp for f in slam.frames]),
+        "frame_kf_idx": np.asarray([f.keyframe_idx for f in slam.frames]),
+        "frame_rel_poses": (
+            np.stack([f.T_kf_frame for f in slam.frames])
+            if slam.frames else np.zeros((0, 4, 4))
+        ),
+        "T_kf_prev": np.asarray(slam._T_kf_prev),
+        "initialized": np.asarray(slam._initialized),
+    }
+    # Pose graph (device pytree -> host arrays).
+    for name in ["poses", "num_vertices", "edge_i", "edge_j", "measurements",
+                 "information", "edge_mask", "num_edges"]:
+        data[f"graph_{name}"] = np.asarray(getattr(slam.graph, name))
+    # Keyframe pyramids per level (stacked) + prev-frame pyramid.
+    for lvl in range(num_levels):
+        if slam.keyframes:
+            data[f"kf_pyr_{lvl}"] = np.stack(
+                [np.asarray(k.pyramid[lvl]) for k in slam.keyframes]
+            )
+        if slam._prev_pyr is not None:
+            data[f"prev_pyr_{lvl}"] = np.asarray(slam._prev_pyr[lvl])
+    np.savez_compressed(path, **data)
+
+
+def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
+              enable_loop_closure=True):
+    """Restore a KeyframeSlam from .npz; returns a ready-to-update instance."""
+    import jax.numpy as jnp
+
+    from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+    from dvo_slam_tpu.models.keyframe_tracker import (
+        FrameRecord, Keyframe, KeyframeSlam,
+    )
+
+    z = np.load(path, allow_pickle=False)
+    assert int(z["version"]) == _FORMAT_VERSION, "checkpoint format mismatch"
+    tracker_cfg = tracker_cfg or TrackerConfig()
+    slam_cfg = slam_cfg or SlamConfig()
+    slam = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure)
+    slam.init(z["kf_poses"][0] if len(z["kf_poses"]) else None)
+
+    n_kf = int(z["num_keyframes"])
+    num_levels = tracker_cfg.num_levels
+    for k in range(n_kf):
+        pyr = tuple(jnp.asarray(z[f"kf_pyr_{lvl}"][k]) for lvl in range(num_levels))
+        ef = float(z["kf_entropy_first"][k])
+        slam.keyframes.append(
+            Keyframe(
+                idx=k,
+                timestamp=float(z["kf_timestamps"][k]),
+                pyramid=pyr,
+                entropy_first=None if np.isnan(ef) else ef,
+                entropy_sum=float(z["kf_entropy_sum"][k]),
+                entropy_count=int(z["kf_entropy_count"][k]),
+            )
+        )
+        slam.kf_poses.append(np.asarray(z["kf_poses"][k], np.float64))
+
+    from dvo_slam_tpu.models import pose_graph
+
+    slam.graph = pose_graph.PoseGraph(
+        poses=jnp.asarray(z["graph_poses"]),
+        num_vertices=jnp.asarray(z["graph_num_vertices"]),
+        edge_i=jnp.asarray(z["graph_edge_i"]),
+        edge_j=jnp.asarray(z["graph_edge_j"]),
+        measurements=jnp.asarray(z["graph_measurements"]),
+        information=jnp.asarray(z["graph_information"]),
+        edge_mask=jnp.asarray(z["graph_edge_mask"]),
+        num_edges=jnp.asarray(z["graph_num_edges"]),
+    )
+    slam.num_loop_edges = int(z["num_loop_edges"])
+    for i in range(len(z["frame_timestamps"])):
+        slam.frames.append(
+            FrameRecord(
+                timestamp=float(z["frame_timestamps"][i]),
+                keyframe_idx=int(z["frame_kf_idx"][i]),
+                T_kf_frame=np.asarray(z["frame_rel_poses"][i], np.float64),
+            )
+        )
+    if f"prev_pyr_0" in z:
+        slam._prev_pyr = tuple(
+            jnp.asarray(z[f"prev_pyr_{lvl}"]) for lvl in range(num_levels)
+        )
+    slam._T_kf_prev = np.asarray(z["T_kf_prev"], np.float64)
+    slam._initialized = bool(z["initialized"])
+    return slam

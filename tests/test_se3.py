@@ -78,6 +78,23 @@ def test_transform_points():
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+def test_log_jacobian_finite_at_identity():
+    """jacfwd through log at (and near) the identity must be finite — the
+    pose-graph edge Jacobians hit exactly this point for consistent edges."""
+    import jax
+
+    def f(d):
+        return se3.log(se3.exp(d) @ jnp.eye(4))
+
+    J0 = np.asarray(jax.jacfwd(f)(jnp.zeros(6)))
+    assert np.isfinite(J0).all()
+    np.testing.assert_allclose(J0, np.eye(6), atol=1e-5)
+
+    d_small = jnp.asarray(np.full(6, 1e-4), jnp.float32)
+    J1 = np.asarray(jax.jacfwd(f)(d_small))
+    assert np.isfinite(J1).all()
+
+
 def test_quaternion_roundtrip():
     rng = np.random.default_rng(7)
     for _ in range(20):

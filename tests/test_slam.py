@@ -1,0 +1,111 @@
+"""End-to-end SLAM tests: KeyframeSlam over synthetic sequences.
+
+Covers BASELINE.json configs #4 (keyframe tracking with entropy-ratio
+selection) and #5 (pose-graph SLAM with loop closure). Small frames keep
+the 1-core compile budget sane.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+from dvo_slam_tpu.utils import evaluate, synthetic
+
+W, H = 64, 48
+K_TUPLE = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
+
+TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0, max_iterations=30)
+SLAM = SlamConfig(
+    max_keyframes=32,
+    max_edges=128,
+    min_constraint_distance=3,
+    coarse_first_level=1,
+    coarse_last_level=1,
+    validation_batch=4,
+)
+
+
+def _run_slam(num_frames=14, radius=0.06, loop_closure=True, force_every=None):
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(num_frames, radius=radius)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=loop_closure)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        if force_every and i > 0 and i % force_every == 0:
+            slam.force_keyframe()
+        slam.update(intensity, depth, float(i) / 30.0)
+    traj = slam.finish()
+    est = [T for _, T in traj]
+    return slam, est, poses
+
+
+def test_keyframe_odometry_accuracy():
+    """Config #4: keyframe tracking, no loop closure."""
+    slam, est, gt = _run_slam(num_frames=12, loop_closure=False, force_every=4)
+    assert len(est) == 12
+    ate = evaluate.ate_rmse(est, gt)
+    assert ate < 0.005, f"keyframe odometry ATE {ate*1000:.2f} mm"
+    assert len(slam.keyframes) >= 3  # forced keyframes actually created
+
+
+def test_full_slam_with_loop_closure():
+    """Config #5: the orbit returns to its start; loop closure must fire
+    and the optimized trajectory must stay accurate."""
+    slam, est, gt = _run_slam(num_frames=14, force_every=2, loop_closure=True)
+    ate = evaluate.ate_rmse(est, gt)
+    assert ate < 0.005, f"SLAM ATE {ate*1000:.2f} mm"
+    assert slam.num_loop_edges >= 1, "no loop-closure edge accepted"
+    assert int(slam.graph.num_edges) >= len(slam.keyframes) - 1
+
+
+def test_entropy_ratio_triggers_keyframe_switch():
+    """Without forced keyframes, degrading tracking quality must create new
+    keyframes on its own (entropy-ratio criterion, IROS13 §IV).
+
+    Fixture: small motion but progressively increasing depth dropout — the
+    pose information A scales with the valid-constraint count, so
+    H = 0.5 ln((2 pi e)^6 / det A) rises toward zero and the ratio
+    H_cur / H_first falls below the threshold.
+    """
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(10, radius=0.02)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    degraded = []
+    for i, (intensity, depth) in enumerate(frames):
+        d = depth.copy()
+        dropout = min(0.85, 0.12 * i)
+        d[:, : int(W * dropout)] = np.nan
+        degraded.append((intensity, d))
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(degraded):
+        slam.update(intensity, depth, float(i) / 30.0)
+    assert len(slam.keyframes) >= 2, "entropy ratio never triggered a keyframe"
+    traj = slam.trajectory()
+    est = [T for _, T in traj]
+    ate = evaluate.ate_rmse(est, poses)
+    assert ate < 0.01, f"ATE {ate*1000:.2f} mm"
+
+
+def test_garbage_frame_recovery():
+    """A corrupted frame mid-sequence must not kill the pipeline (reference
+    NaN-voter / forced-keyframe fallback semantics)."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(8, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    rng = np.random.default_rng(0)
+    bad_i = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    bad_z = np.full((H, W), np.nan, np.float32)
+    frames[4] = (bad_i, bad_z)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    out = []
+    for i, (intensity, depth) in enumerate(frames):
+        out.append(slam.update(intensity, depth, float(i) / 30.0))
+    assert all(np.isfinite(T).all() for T in out)
+    # Frames after the garbage one must still track (pose not frozen).
+    assert np.linalg.norm(out[-1][:3, 3] - out[5][:3, 3]) > 1e-5
