@@ -1,0 +1,142 @@
+"""Checkpoint/resume, benchmark harness, CLI, and aux-subsystem tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+from dvo_slam_tpu.utils import checkpoint, evaluate, synthetic
+
+W, H = 64, 48
+K_TUPLE = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
+TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0, max_iterations=30)
+SLAM = SlamConfig(max_keyframes=32, max_edges=128, min_constraint_distance=3,
+                  coarse_first_level=1, coarse_last_level=1, validation_batch=4)
+
+
+def _frames(n, radius=0.05):
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(n, radius=radius)
+    return synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses), poses
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Run 10 frames straight vs save@5 + resume: identical trajectories."""
+    frames, poses = _frames(10)
+
+    slam_a = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam_a.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        if i == 5:
+            slam_a.force_keyframe()
+        slam_a.update(intensity, depth, i / 30.0)
+    traj_a = slam_a.trajectory()
+
+    slam_b = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam_b.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames[:5]):
+        slam_b.update(intensity, depth, i / 30.0)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_slam(path, slam_b)
+    slam_c = checkpoint.load_slam(path, K_TUPLE, TRACKER, SLAM,
+                                  enable_loop_closure=False)
+    for i, (intensity, depth) in enumerate(frames[5:], start=5):
+        if i == 5:
+            slam_c.force_keyframe()
+        slam_c.update(intensity, depth, i / 30.0)
+    traj_c = slam_c.trajectory()
+
+    assert len(traj_a) == len(traj_c)
+    for (ta, Ta), (tc, Tc) in zip(traj_a, traj_c):
+        assert ta == tc
+        np.testing.assert_allclose(Ta, Tc, atol=1e-5)
+
+
+def test_benchmark_synthetic_odometry():
+    from dvo_slam_tpu import benchmark
+
+    res = benchmark.run_synthetic(
+        num_frames=8, width=W, height=H,
+        tracker_cfg=TRACKER, slam_cfg=SLAM, mode="keyframe",
+    )
+    assert res.num_frames == 8
+    assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.01
+    assert res.fps > 0
+    json.loads(res.to_json())  # serializable
+
+
+def test_cli_evaluate(tmp_path):
+    from dvo_slam_tpu.utils import se3_np, tum
+
+    poses = synthetic.orbit_trajectory(6, radius=0.1)
+    ts = [float(i) for i in range(6)]
+    est_path = str(tmp_path / "est.txt")
+    gt_path = str(tmp_path / "gt.txt")
+    tum.write_trajectory(est_path, ts, poses)
+    # Groundtruth = same trajectory rigidly moved: ATE must be ~0.
+    offset = se3_np.exp(np.array([0.3, -0.2, 0.1, 0.2, 0.1, -0.3]))
+    tum.write_trajectory(gt_path, ts, [offset @ T for T in poses])
+
+    from dvo_slam_tpu import cli
+
+    rc = cli.main(["evaluate", est_path, gt_path])
+    assert rc == 0
+
+
+def test_stopwatch_and_logger(tmp_path):
+    from dvo_slam_tpu.utils import stats
+
+    watch = stats.Stopwatch()
+    with watch.section("a"):
+        x = sum(range(1000))
+    with watch.section("a"):
+        pass
+    s = watch.summary()
+    assert s["a"]["count"] == 2
+    assert "a" in watch.report()
+
+    log_path = str(tmp_path / "frames.jsonl")
+    logger = stats.FrameLogger(log_path)
+    logger.log(frame=1, entropy=-54.2, iters=np.asarray([3, 4]))
+    logger.close()
+    rec = json.loads(open(log_path).read().strip())
+    assert rec["frame"] == 1 and rec["iters"] == [3, 4]
+
+
+def test_visualizer_outputs(tmp_path):
+    from dvo_slam_tpu.utils import visualization as viz
+
+    v = viz.FileTrajectoryVisualizer(str(tmp_path / "viz"))
+    poses = synthetic.orbit_trajectory(5, radius=0.1)
+    for i, T in enumerate(poses):
+        v.add_pose(float(i), T, is_keyframe=(i % 2 == 0))
+    pts = np.random.default_rng(0).normal(size=(100, 3))
+    v.add_point_cloud(pts)
+    v.finish()
+    assert os.path.exists(tmp_path / "viz" / "trajectory.txt")
+    assert os.path.exists(tmp_path / "viz" / "keyframes.txt")
+    ply = open(tmp_path / "viz" / "cloud_0000.ply").read()
+    assert "element vertex 100" in ply
+
+    # Round-trip: the dumped trajectory must match what went in.
+    from dvo_slam_tpu.utils import tum
+
+    back = tum.read_trajectory(str(tmp_path / "viz" / "trajectory.txt"))
+    np.testing.assert_allclose(back[2][1], poses[2], atol=1e-5)
+
+
+def test_point_cloud_from_rgbd():
+    from dvo_slam_tpu.utils import visualization as viz
+
+    scene = synthetic.PlaneScene()
+    intensity, depth = scene.render(np.asarray(K_TUPLE), W, H, np.eye(4))
+    pts, colors = viz.point_cloud_from_rgbd(intensity, depth, K_TUPLE, stride=4)
+    assert pts.shape[1] == 3 and len(pts) == len(colors)
+    # All points must lie on the scene plane: n.X = d.
+    n, d = scene.planes[0]
+    np.testing.assert_allclose(pts @ n, d, atol=1e-3)
