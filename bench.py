@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--margin", type=int, default=None,
+                    help="override pallas window margin (rows)")
     ap.add_argument("--dual", action="store_true",
                     help="benchmark the SLAM dual-alignment step (batch 2)")
     args = ap.parse_args()
@@ -43,7 +45,14 @@ def main():
     from dvo_slam_tpu.utils import synthetic
 
     W, H = args.width, args.height
-    cfg = TrackerConfig()  # reference defaults: levels 3..1 of a 4-level pyramid
+    # Reference defaults: levels 3..1 of a 4-level pyramid. On TPU use the
+    # fused Pallas sampling kernel (4x faster IRLS iterations); elsewhere
+    # the portable XLA gather path.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    kw = {}
+    if args.margin is not None:
+        kw["pallas_margin"] = args.margin
+    cfg = TrackerConfig(sampler_backend="pallas" if on_tpu else "gather", **kw)
     K_t = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), cfg.num_levels)
 

@@ -83,6 +83,22 @@ class TrackerConfig:
     # (BASELINE.json config #1).
     use_depth: bool = True
 
+    # Bilinear sampling backend for the IRLS hot loop:
+    #   "gather" — XLA row-gather (portable; CPU/TPU)
+    #   "pallas" — fused MXU one-hot window sampler (TPU; ops/pallas/sampler)
+    # The pallas path masks points whose warped row leaves a
+    # (pallas_margin)-row window around each reference band — coarse
+    # levels use whole-image windows, so defaults are safe for tracking
+    # and validation alike.
+    sampler_backend: str = "gather"
+    pallas_rows_per_tile: int = 8
+    pallas_margin: int = 16
+    # MXU precision of the one-hot sampling matmul: "default" (single bf16
+    # pass; sampling quantization ~2^-9 relative ~ Kinect depth noise at
+    # 2 m, absorbed by the Sigma estimate) or "highest" (6-pass, exact to
+    # f32, ~3x slower sampling).
+    pallas_precision: str = "default"
+
     # Levenberg-Marquardt damping. 0 disables (pure Gauss-Newton with
     # error-increase rollback, the reference behaviour); >0 enables the
     # adaptive-lambda LM loop (BASELINE.json config #3).
@@ -96,6 +112,8 @@ class TrackerConfig:
             raise ValueError(f"unknown scale estimator {self.scale_estimator}")
         if self.influence not in INFLUENCE_FUNCTIONS:
             raise ValueError(f"unknown influence function {self.influence}")
+        if self.sampler_backend not in ("gather", "pallas"):
+            raise ValueError(f"unknown sampler backend {self.sampler_backend}")
         if not (0 <= self.last_level <= self.first_level < self.num_levels):
             raise ValueError(
                 "require 0 <= last_level <= first_level < num_levels, got "

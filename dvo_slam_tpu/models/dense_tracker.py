@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from dvo_slam_tpu.config import TrackerConfig
-from dvo_slam_tpu.ops import interp, least_squares, residuals, robust, se3
+from dvo_slam_tpu.ops import least_squares, linearize as lin_ops, se3
 
 _INF = jnp.inf
 
@@ -81,108 +81,22 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def _weights_and_precision(r, valid, cfg: TrackerConfig, axis_name=None):
-    """IRLS weights + 2x2 precision from the configured robust model.
-
-    Default: bivariate t-distribution fixed point (reference
-    computeScale/computeWeights). Other estimators build a diagonal Sigma
-    from per-channel scalar scales and apply the influence function to the
-    Mahalanobis norm.
-    """
-    dtype = r.dtype
-    if not cfg.use_weighting:
-        prec = jnp.eye(2, dtype=dtype)
-        w = valid.astype(dtype)
-        return w, prec, robust.inv2x2(prec)
-
-    floor = jnp.asarray([cfg.min_intensity_sigma, cfg.min_depth_sigma], dtype)
-    if cfg.scale_estimator == "tdist":
-        sigma, prec = robust.tdist_covariance(
-            r, valid, dof=cfg.tdist_dof, iters=cfg.tdist_scale_iters,
-            axis_name=axis_name, floor=floor,
-        )
-        w = robust.tdist_weights(r, prec, valid, dof=cfg.tdist_dof)
-        return w, sigma, prec
-
-    # Scalar per-channel scales -> diagonal Sigma (with the same noise floor).
-    scale_fn = robust.SCALE_FNS[cfg.scale_estimator]
-    s_i = jnp.maximum(scale_fn(r[:, 0], valid), floor[0])
-    s_z = jnp.maximum(scale_fn(r[:, 1], valid), floor[1])
-    sigma = jnp.diag(jnp.stack([s_i * s_i, s_z * s_z]))
-    prec = robust.inv2x2(sigma)
-    maha = jnp.sqrt(jnp.einsum("ni,ij,nj->n", r, prec, r))
-    influence_fn = robust.INFLUENCE_FNS[cfg.influence]
-    if cfg.influence == "huber":
-        w = influence_fn(maha, k=cfg.huber_k)
-    elif cfg.influence == "tukey":
-        w = influence_fn(maha, b=cfg.tukey_b)
-    elif cfg.influence == "tdist":
-        w = influence_fn(maha, dof=cfg.tdist_dof)
-    else:
-        w = influence_fn(maha)
-    return jnp.where(valid, w, 0.0), sigma, prec
+def _linearize(ref_data, cur_slab, K, T, cfg, axis_name=None, cur_cmajor=None):
+    """Fused channel-major linearization (ops/linearize.py)."""
+    return lin_ops.linearize(ref_data, cur_slab, K, T, cfg,
+                             axis_name=axis_name, cur_cmajor=cur_cmajor)
 
 
-def _linearize(points, i1, selected, cur_slab, K, T, cfg, axis_name=None, sampler=None):
-    """Residuals -> weights -> normal equations for one candidate pose."""
-    sampler = sampler or interp.bilinear
-    lin = residuals.compute_residuals(points, i1, selected, cur_slab, K, T, sampler=sampler)
-    r, J, valid = lin["r"], lin["J"], lin["valid"]
-
-    if not cfg.use_depth:
-        # Photometric-only (BASELINE.json config #1): zero out the depth row.
-        row = jnp.array([1.0, 0.0], dtype=r.dtype)
-        r = r * row
-        J = J * row[None, :, None]
-
-    w, sigma, prec = _weights_and_precision(r, valid, cfg, axis_name=axis_name)
-    if not cfg.use_depth:
-        # Keep the system rank-correct: precision acts on channel 0 only.
-        prec = prec * jnp.array([[1.0, 0.0], [0.0, 0.0]], dtype=r.dtype)
-
-    A, b, err = least_squares.normal_equations(r, J, w, prec)
-    n_valid = valid.sum().astype(r.dtype)
-    A = _psum(A, axis_name)
-    b = _psum(b, axis_name)
-    err = _psum(err, axis_name)
-    n_valid = _psum(n_valid, axis_name)
-    if cfg.use_weighting and cfg.scale_estimator == "tdist":
-        # Acceptance metric: mean t-dist NLL. The weighted squared error is
-        # scale-invariant under the per-iteration Sigma re-estimate and
-        # carries no signal (see robust.tdist_nll_mean docstring).
-        err_mean = robust.tdist_nll_mean(
-            r, sigma, prec, valid, dof=cfg.tdist_dof, axis_name=axis_name
-        )
-    elif cfg.use_weighting:
-        # Scalar-robust path: same scale-invariance issue — add the
-        # log-det term of the (diagonal) Sigma estimate.
-        det = sigma[0, 0] * sigma[1, 1] if cfg.use_depth else sigma[0, 0]
-        err_mean = err / jnp.maximum(n_valid, 1.0) + jnp.log(jnp.maximum(det, 1e-12))
-    else:
-        # Unweighted: P is fixed, the weighted error is a true objective.
-        err_mean = err / jnp.maximum(n_valid, 1.0)
-    return {
-        "A": A,
-        "b": b,
-        "err_mean": err_mean,
-        "n_valid": n_valid,
-        "sigma": sigma,
-        "r": r,
-        "valid": valid,
-        "w": w,
-    }
-
-
-def _track_level(points, i1, selected, cur_slab, K, T_init, cfg: TrackerConfig,
-                 axis_name=None, sampler=None):
+def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
+                 axis_name=None, cur_cmajor=None):
     """IRLS loop for one pyramid level (reference: the per-level loop in
     DenseTracker::match). Returns (T, A, b, sigma, stats dict)."""
     dtype = T_init.dtype
     use_lm = cfg.lm_lambda_init > 0.0
 
     def linearize(T):
-        return _linearize(points, i1, selected, cur_slab, K, T, cfg,
-                          axis_name=axis_name, sampler=sampler)
+        return _linearize(ref_data, cur_slab, K, T, cfg,
+                          axis_name=axis_name, cur_cmajor=cur_cmajor)
 
     def cond(carry):
         return ~carry["done"]
@@ -190,15 +104,16 @@ def _track_level(points, i1, selected, cur_slab, K, T_init, cfg: TrackerConfig,
     def body(carry):
         lin = linearize(carry["T_cur"])
         first = carry["k"] == 0
-        accept = first | (lin["err_mean"] <= carry["err_best"])
+        accept = first | (lin.err_mean <= carry["err_best"])
 
         # Accepted state (reference Revertable<T>: keep best, revert else).
         T_base = jnp.where(accept, carry["T_cur"], carry["T_best"])
-        A_use = jnp.where(accept, lin["A"], carry["A_best"])
-        b_use = jnp.where(accept, lin["b"], carry["b_best"])
-        err_best = jnp.where(accept, lin["err_mean"], carry["err_best"])
-        sigma_best = jnp.where(accept, lin["sigma"], carry["sigma_best"])
-        n_valid_best = jnp.where(accept, lin["n_valid"], carry["n_valid_best"])
+        A_use = jnp.where(accept, lin.A, carry["A_best"])
+        b_use = jnp.where(accept, lin.b, carry["b_best"])
+        err_best = jnp.where(accept, lin.err_mean, carry["err_best"])
+        sigma_best = jnp.where(accept, lin.sigma, carry["sigma_best"])
+        n_valid_best = jnp.where(accept, lin.n_raw, carry["n_valid_best"])
+        log1p_best = jnp.where(accept, lin.log1p_sum, carry["log1p_best"])
 
         if use_lm:
             lam = jnp.where(
@@ -232,6 +147,7 @@ def _track_level(points, i1, selected, cur_slab, K, T_init, cfg: TrackerConfig,
             "b_best": b_use,
             "sigma_best": sigma_best,
             "n_valid_best": n_valid_best,
+            "log1p_best": log1p_best,
             "lam": lam,
             "k": k,
             "done": done,
@@ -245,17 +161,24 @@ def _track_level(points, i1, selected, cur_slab, K, T_init, cfg: TrackerConfig,
         "b_best": jnp.zeros(6, dtype=dtype),
         "sigma_best": jnp.eye(2, dtype=dtype),
         "n_valid_best": jnp.asarray(0.0, dtype),
+        "log1p_best": jnp.asarray(0.0, dtype),
         "lam": jnp.asarray(cfg.lm_lambda_init if use_lm else 0.0, dtype),
         "k": jnp.asarray(0, jnp.int32),
         "done": jnp.asarray(False, bool),
     }
     out = jax.lax.while_loop(cond, body, init)
     stats = {"iterations": out["k"], "error": out["err_best"]}
-    return out["T_best"], out["A_best"], out["b_best"], out["sigma_best"], stats
+    final = lin_ops.Linearization(
+        A=out["A_best"], b=out["b_best"], err_mean=out["err_best"],
+        n_valid=jnp.maximum(out["n_valid_best"], 1.0),
+        n_raw=out["n_valid_best"], sigma=out["sigma_best"],
+        log1p_sum=out["log1p_best"], err_raw=out["err_best"],
+    )
+    return out["T_best"], final, stats
 
 
 def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
-          axis_name: Optional[str] = None, sampler=None) -> TrackResult:
+          axis_name: Optional[str] = None) -> TrackResult:
     """Align the current frame to the reference frame (DenseTracker::match).
 
     Args:
@@ -265,7 +188,6 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
       T_init: (4, 4) initial estimate (reference cam -> current cam).
       cfg: static TrackerConfig.
       axis_name: optional mesh axis for pixel-sharded reductions.
-      sampler: optional bilinear-sampler override (Pallas kernel hook).
 
     Returns TrackResult with the pose, its 6x6 information matrix, the
     log-likelihood/entropy used by keyframe selection, and per-level stats.
@@ -285,39 +207,37 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
             if axis_name is not None
             else 0
         )
-        points, i1, selected = residuals.reference_points(
-            ref_slab,
-            Ks[lvl],
-            intensity_grad_threshold=cfg.intensity_grad_threshold,
-            depth_grad_threshold=cfg.depth_grad_threshold,
-            row_offset=row_offset,
+        level_data[lvl] = lin_ops.prepare_reference(
+            ref_slab, Ks[lvl], cfg, row_offset=row_offset
         )
-        level_data[lvl] = (points, i1, selected)
 
-    A = jnp.eye(6, dtype=T.dtype)
-    sigma = jnp.eye(2, dtype=T.dtype)
+    # Channel-block layout of the current slabs (pallas sampler input),
+    # prepared once per frame per level.
+    cmajors = {}
+    if cfg.sampler_backend == "pallas":
+        from dvo_slam_tpu.ops.pallas import sampler as pallas_sampler
+
+        for lvl in levels:
+            cmajors[lvl] = pallas_sampler.slab_to_cmajor(cur_pyr[lvl])
+
+    fin = None
     for lvl in levels:
-        points, i1, selected = level_data[lvl]
-        T, A, _, sigma, stats = _track_level(
-            points, i1, selected, cur_pyr[lvl], Ks[lvl], T, cfg,
-            axis_name=axis_name, sampler=sampler,
+        T, fin, stats = _track_level(
+            level_data[lvl], cur_pyr[lvl], Ks[lvl], T, cfg,
+            axis_name=axis_name, cur_cmajor=cmajors.get(lvl),
         )
         iters.append(stats["iterations"])
         errs.append(stats["error"])
 
-    # Final evaluation at the converged pose on the finest tracked level:
-    # exact Information/LogLikelihood at T (reference reports A at
-    # convergence) + validity statistics for the acceptance criteria.
+    # Information/LogLikelihood at convergence come from the finest
+    # level's last ACCEPTED linearization (T_best is that pose, so its
+    # linearization is exact — no extra evaluation pass needed).
     lvl = levels[-1]
-    points, i1, selected = level_data[lvl]
-    fin = _linearize(points, i1, selected, cur_pyr[lvl], Ks[lvl], T, cfg,
-                     axis_name=axis_name, sampler=sampler)
-    loglik = robust.tdist_log_likelihood(
-        fin["r"], fin["sigma"], fin["valid"], dof=cfg.tdist_dof
+    loglik = lin_ops.tdist_loglik(fin, cfg)
+    n_selected = _psum(
+        level_data[lvl].selected.sum().astype(T.dtype), axis_name
     )
-    loglik = _psum(loglik, axis_name)
-    n_selected = _psum(selected.sum().astype(T.dtype), axis_name)
-    information = fin["A"]
+    information = fin.A
     entropy = pose_entropy(information)
 
     return TrackResult(
@@ -325,10 +245,10 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
         information=information,
         log_likelihood=loglik,
         entropy=entropy,
-        error=fin["err_mean"],
-        sigma=fin["sigma"],
-        valid_pixels=fin["n_valid"],
-        valid_ratio=fin["n_valid"] / jnp.maximum(n_selected, 1.0),
+        error=fin.err_mean,
+        sigma=fin.sigma,
+        valid_pixels=fin.n_raw,
+        valid_ratio=fin.n_raw / jnp.maximum(n_selected, 1.0),
         iterations=jnp.stack(iters),
         level_errors=jnp.stack(errs),
     )
