@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,25 +120,31 @@ def validate_candidates(
         # --- stage 1: coarse, both directions (two batched calls) ---
         fwd = dense_tracker.track_pairs_batched(refs, curs_new, Ks, Tf, coarse_cfg)
         bwd = dense_tracker.track_pairs_batched(curs_new, refs, Ks, Tb, coarse_cfg)
+        # Single device->host transfer per stage (per-scalar reads pay a
+        # full dispatch round trip each on remoted devices).
+        (fwd_T, fwd_nan, fwd_H, fwd_vr), (bwd_T, bwd_nan) = jax.device_get((
+            (fwd.transformation, fwd.is_nan(), fwd.entropy, fwd.valid_ratio),
+            (bwd.transformation, bwd.is_nan()),
+        ))
 
         survivors = []
         for k in range(n):
             c = chunk[k]
-            if bool(fwd.is_nan()[k]) or bool(bwd.is_nan()[k]):
+            if bool(fwd_nan[k]) or bool(bwd_nan[k]):
                 continue  # NaNResultVoter
-            T_f = np.asarray(fwd.transformation[k], np.float64)
-            T_b = np.asarray(bwd.transformation[k], np.float64)
+            T_f = np.asarray(fwd_T[k], np.float64)
+            T_b = np.asarray(bwd_T[k], np.float64)
             # CrossValidationVoter: forward o backward ~ identity.
             consistency = np.linalg.norm(se3_np.log(T_f @ T_b))
             if consistency > slam_cfg.cross_validation_threshold:
                 continue
             # TrackingResultEvaluationVoter (coarse threshold).
             ratio = _entropy_ratio(
-                float(fwd.entropy[k]), keyframe_entropies[c.keyframe_idx]
+                float(fwd_H[k]), keyframe_entropies[c.keyframe_idx]
             )
             if ratio < slam_cfg.min_entropy_ratio_coarse:
                 continue
-            if float(fwd.valid_ratio[k]) < slam_cfg.min_constraint_ratio:
+            if float(fwd_vr[k]) < slam_cfg.min_constraint_ratio:
                 continue  # ConstraintRatioVoter
             survivors.append((k, c, T_f))
 
@@ -149,27 +156,31 @@ def validate_candidates(
         T2 = [T for _, _, T in survivors]
         refs2, Tf2 = _pad_batch(pyrs2, T2, B)
         fine = dense_tracker.track_pairs_batched(refs2, curs_new, Ks, Tf2, fine_cfg)
+        fine_T, fine_nan, fine_H, fine_vr, fine_info = jax.device_get((
+            fine.transformation, fine.is_nan(), fine.entropy,
+            fine.valid_ratio, fine.information,
+        ))
 
         for s, (_, c, _) in enumerate(survivors):
-            if bool(fine.is_nan()[s]):
+            if bool(fine_nan[s]):
                 continue
             ratio = _entropy_ratio(
-                float(fine.entropy[s]), keyframe_entropies[c.keyframe_idx]
+                float(fine_H[s]), keyframe_entropies[c.keyframe_idx]
             )
             if ratio < slam_cfg.min_entropy_ratio_fine:
                 continue
-            if float(fine.valid_ratio[s]) < slam_cfg.min_constraint_ratio:
+            if float(fine_vr[s]) < slam_cfg.min_constraint_ratio:
                 continue
             # Tracker returns T: candidate-cam -> new-cam, i.e.
             # p_new = T p_cand. Graph edge convention: Z = T_i^{-1} T_j with
             # i = candidate, j = new, poses world<-cam: Z = inv(T).
-            measurement = se3_np.inverse(np.asarray(fine.transformation[s], np.float64))
+            measurement = se3_np.inverse(np.asarray(fine_T[s], np.float64))
             accepted.append(
                 AcceptedConstraint(
                     keyframe_idx=c.keyframe_idx,
                     new_idx=c.new_idx,
                     measurement=measurement,
-                    information=np.asarray(fine.information[s], np.float64),
+                    information=np.asarray(fine_info[s], np.float64),
                 )
             )
     return accepted

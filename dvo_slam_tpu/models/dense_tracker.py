@@ -127,6 +127,13 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             # Pure GN: error increase => revert and stop (reference behaviour).
             rejected_stop = ~accept
 
+        if cfg.mu > 0.0:
+            # Motion prior (reference Config::Mu): penalize deviation from
+            # the level's initial estimate, A += mu I, b += mu xi_prior
+            # with xi_prior = log(T_base T_init^{-1}).
+            xi_prior = se3.log(T_base @ se3.inverse(T_init))
+            A_use = A_use + cfg.mu * jnp.eye(6, dtype=dtype)
+            b_use = b_use + cfg.mu * xi_prior
         delta = least_squares.solve(A_use, b_use, lam)
         delta = jnp.where(jnp.isfinite(delta).all(), delta, jnp.zeros_like(delta))
         T_next = se3.exp(delta) @ T_base

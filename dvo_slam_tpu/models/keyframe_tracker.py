@@ -34,10 +34,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models import constraints, dense_tracker, pose_graph
 from dvo_slam_tpu.ops import camera, pyramid
 from dvo_slam_tpu.utils import se3_np
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _slam_frame_step(intensity, depth, kf_pyr, prev_pyr, inits, Ks,
+                     cfg: TrackerConfig):
+    """One fused device step: pyramid build + dual alignment.
+
+    Fusing keeps the per-frame host<->device interaction to a single
+    dispatch plus one result transfer (the reference's per-frame work is a
+    single in-process call; over remoted accelerators every extra dispatch
+    costs a full round trip).
+    """
+    pyr = pyramid.build_pyramid(intensity, depth, cfg.num_levels)
+    refs = tuple(
+        jnp.stack([kf_lvl, prev_lvl])
+        for kf_lvl, prev_lvl in zip(kf_pyr, prev_pyr)
+    )
+    track = lambda ref, T0: dense_tracker.track(ref, pyr, Ks, T0, cfg)
+    res = jax.vmap(track)(refs, inits)
+    return pyr, res
 
 
 @dataclasses.dataclass
@@ -122,8 +144,8 @@ class KeyframeSlam:
 
     def update(self, intensity, depth, timestamp: float) -> np.ndarray:
         """Track one RGB-D frame; returns the current world pose (4, 4) f64."""
-        pyr = self._build_pyramid(intensity, depth)
         if not self._initialized:
+            pyr = self._build_pyramid(intensity, depth)
             if not hasattr(self, "_T0"):
                 self.init()
             self._add_keyframe(pyr, timestamp, self._T0, None, None)
@@ -134,21 +156,28 @@ class KeyframeSlam:
             return self._T0.copy()
 
         kf = self.keyframes[-1]
-        # --- LocalTracker: dual alignment as one batched call ---
-        refs = tuple(
-            jnp.stack([kf_lvl, prev_lvl])
-            for kf_lvl, prev_lvl in zip(kf.pyramid, self._prev_pyr)
-        )
+        # --- LocalTracker: fused pyramid build + dual alignment ---
         inits = jnp.stack(
             [jnp.asarray(self._T_kf_prev, jnp.float32), jnp.eye(4, dtype=jnp.float32)]
         )
-        res = dense_tracker.track_batched(refs, pyr, self.Ks, inits, self.tracker_cfg)
-        r_kf_T = np.asarray(res.transformation[0], np.float64)
-        r_odo_T = np.asarray(res.transformation[1], np.float64)
-        kf_nan = bool(res.is_nan()[0])
-        odo_nan = bool(res.is_nan()[1])
-        kf_entropy = float(res.entropy[0])
-        kf_valid_ratio = float(res.valid_ratio[0])
+        pyr, res = _slam_frame_step(
+            jnp.asarray(intensity, jnp.float32), jnp.asarray(depth, jnp.float32),
+            kf.pyramid, self._prev_pyr, inits, self.Ks, self.tracker_cfg,
+        )
+        # ONE device->host transfer for everything this frame needs: each
+        # separate scalar read pays a full dispatch round trip (hundreds of
+        # ms over remoted devices), which would dwarf the tracking itself.
+        host = jax.device_get(
+            (res.transformation, res.is_nan(), res.entropy, res.valid_ratio,
+             res.information)
+        )
+        transforms, nans, entropies, valid_ratios, informations = host
+        r_kf_T = np.asarray(transforms[0], np.float64)
+        r_odo_T = np.asarray(transforms[1], np.float64)
+        kf_nan = bool(nans[0])
+        odo_nan = bool(nans[1])
+        kf_entropy = float(entropies[0])
+        kf_valid_ratio = float(valid_ratios[0])
 
         # --- acceptance criteria (reference LocalTracker signals) ---
         accept = (not kf_nan) and kf_valid_ratio >= self.slam_cfg.min_constraint_ratio
@@ -178,13 +207,13 @@ class KeyframeSlam:
         # --- keyframe switch: current frame becomes the new keyframe ---
         if accept:
             Z_new = r_kf_T  # new-cam <- kf-cam
-            info = np.asarray(res.information[0], np.float64)
+            info = np.asarray(informations[0], np.float64)
         elif not odo_nan:
             # Tracking-failure fallback: chain previous kf-relative pose
             # with the frame-to-frame odometry result (graceful
             # degradation, SURVEY.md §6 failure handling).
             Z_new = r_odo_T @ self._T_kf_prev
-            info = np.asarray(res.information[1], np.float64)
+            info = np.asarray(informations[1], np.float64)
         else:
             # Total failure: keep last relative pose (constant position).
             Z_new = self._T_kf_prev

@@ -240,6 +240,10 @@ struct Loader {
   std::condition_variable cv_push, cv_pop;
   std::deque<Frame> queue;
   std::atomic<bool> stop{false};
+  // Set ONLY after the final frame has been pushed: the consumer's wait
+  // predicate must not race with the gap between "last index consumed by
+  // the decoder" and "last frame actually enqueued".
+  std::atomic<bool> done{false};
   size_t next_decode = 0;
 
   void run() {
@@ -264,6 +268,11 @@ struct Loader {
       queue.push_back(std::move(f));
       cv_pop.notify_one();
     }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      done.store(true);
+    }
+    cv_pop.notify_all();
   }
 };
 
@@ -320,9 +329,7 @@ void* dvo_loader_create(const char** rgb_paths, const char** depth_paths,
 int dvo_loader_next(void* handle, float* intensity_out, float* depth_out) {
   Loader* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv_pop.wait(lk, [&] {
-    return !L->queue.empty() || L->next_decode >= L->rgb_paths.size();
-  });
+  L->cv_pop.wait(lk, [&] { return !L->queue.empty() || L->done.load(); });
   if (L->queue.empty()) return -1;
   Frame f = std::move(L->queue.front());
   L->queue.pop_front();

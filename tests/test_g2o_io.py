@@ -1,0 +1,54 @@
+"""g2o text serialization round-trip."""
+
+import numpy as np
+
+from dvo_slam_tpu.utils import g2o_io
+
+
+def test_g2o_roundtrip(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pose_graph import _chain_graph
+
+    g, _, _ = _chain_graph(n=6, drift=0.02, max_v=16, max_e=32)
+    path = str(tmp_path / "graph.g2o")
+    g2o_io.save_g2o(path, g)
+
+    text = open(path).read()
+    assert text.count("VERTEX_SE3:QUAT") == 6
+    assert text.count("EDGE_SE3:QUAT") == 6  # 5 odometry + 1 loop
+    assert "FIX 0" in text
+
+    g2 = g2o_io.load_g2o(path, max_vertices=16, max_edges=32)
+    assert int(g2.num_vertices) == 6
+    assert int(g2.num_edges) == 6
+    np.testing.assert_allclose(
+        np.asarray(g2.poses[:6]), np.asarray(g.poses[:6]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g2.measurements[:6]), np.asarray(g.measurements[:6]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g2.information[:6]), np.asarray(g.information[:6]), rtol=1e-5
+    )
+
+
+def test_g2o_optimizable_after_load(tmp_path):
+    """A loaded graph must optimize exactly like the original."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pose_graph import _chain_graph
+
+    from dvo_slam_tpu.models import pose_graph
+
+    g, _, _ = _chain_graph(n=6, drift=0.02, max_v=16, max_e=32)
+    path = str(tmp_path / "graph.g2o")
+    g2o_io.save_g2o(path, g)
+    g2 = g2o_io.load_g2o(path, max_vertices=16, max_edges=32)
+    o1, chi1, _ = pose_graph.optimize(g, iterations=10, gnc_init=16.0)
+    o2, chi2, _ = pose_graph.optimize(g2, iterations=10, gnc_init=16.0)
+    np.testing.assert_allclose(
+        np.asarray(o1.poses[:6]), np.asarray(o2.poses[:6]), atol=1e-4
+    )

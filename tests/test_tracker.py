@@ -137,6 +137,27 @@ def test_initial_estimate_used():
     assert _pose_error(res.transformation, T_true) < 3e-3
 
 
+def test_mu_pose_prior_pulls_toward_init():
+    """Config::Mu equivalent: a strong motion prior must keep the estimate
+    near the initial guess even when the data pulls elsewhere."""
+    xi = np.array([0.02, -0.01, 0.01, 0.005, -0.004, 0.006])
+    ref, cur, T_true = _render_pair(xi)
+    T_init = np.eye(4)  # prior anchored at identity, data wants T_true
+    cfg_free = TrackerConfig(num_levels=2, first_level=1, last_level=0)
+    cfg_prior = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                              mu=1e9)
+    T_free = _track(ref, cur, cfg_free, T_init=T_init).transformation
+    T_prior = _track(ref, cur, cfg_prior, T_init=T_init).transformation
+    d_free = np.linalg.norm(se3_np.log(np.asarray(T_free, np.float64)))
+    d_prior = np.linalg.norm(se3_np.log(np.asarray(T_prior, np.float64)))
+    assert d_free > 5 * d_prior, (d_free, d_prior)
+    # Moderate prior: still converges near truth.
+    cfg_mild = TrackerConfig(num_levels=2, first_level=1, last_level=0, mu=1.0)
+    err = _pose_error(_track(ref, cur, cfg_mild, T_init=T_init).transformation,
+                      T_true)
+    assert err < 5e-3
+
+
 def test_result_fields_finite():
     xi = np.array([0.005, 0.0, 0.0, 0.0, 0.0, 0.002])
     ref, cur, _ = _render_pair(xi)
