@@ -189,7 +189,7 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
     """Align the current frame to the reference frame (DenseTracker::match).
 
     Args:
-      ref_pyr / cur_pyr: tuples of per-level (H, W, 6) slabs (finest first),
+      ref_pyr / cur_pyr: tuples of per-level (6, H, W) slabs (finest first),
         from ops.pyramid.build_pyramid.
       Ks: tuple of per-level (4,) intrinsics (finest first).
       T_init: (4, 4) initial estimate (reference cam -> current cam).
@@ -210,7 +210,7 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
         # `axis_name`; shift pixel coordinates to this shard's rows. The
         # current slab stays replicated (warps cross shard boundaries).
         row_offset = (
-            jax.lax.axis_index(axis_name) * ref_slab.shape[0]
+            jax.lax.axis_index(axis_name) * ref_slab.shape[1]
             if axis_name is not None
             else 0
         )
@@ -276,7 +276,7 @@ def track_batched(ref_pyrs, cur_pyr, Ks, T_inits, cfg: TrackerConfig) -> TrackRe
     (ConstraintProposalValidator): the batch is a vmap axis, XLA saturates
     the chip (SURVEY.md §2.5 P2).
 
-    ref_pyrs: tuple of (B, H, W, 6) slabs; T_inits: (B, 4, 4).
+    ref_pyrs: tuple of (B, 6, H, W) slabs; T_inits: (B, 4, 4).
     """
     fn = lambda ref, T0: track(ref, cur_pyr, Ks, T0, cfg)
     return jax.vmap(fn)(ref_pyrs, T_inits)

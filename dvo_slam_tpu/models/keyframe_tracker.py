@@ -142,6 +142,25 @@ class KeyframeSlam:
         """Promote the next frame to a keyframe (reference forceKeyframe)."""
         self._force_next = True
 
+    def reset(self, T0: Optional[np.ndarray] = None):
+        """Restart tracking at a given world pose, keeping the map so far.
+
+        Equivalent of the reference odometry node's pose-reset subscriber
+        (dvo_ros CameraDenseTracking reset handling): the next frame starts
+        a fresh keyframe anchored at T0 (current estimate if None), with no
+        odometry edge linking it to the previous keyframe.
+        """
+        if T0 is not None:
+            self._reset_pose = np.asarray(T0, np.float64)
+        elif self.frames:
+            self._reset_pose = self._world_pose(
+                self.frames[-1].keyframe_idx, self.frames[-1].T_kf_frame
+            )
+        else:
+            self._reset_pose = np.eye(4)
+        self._initialized = False
+        self._T0 = self._reset_pose
+
     def update(self, intensity, depth, timestamp: float) -> np.ndarray:
         """Track one RGB-D frame; returns the current world pose (4, 4) f64."""
         if not self._initialized:

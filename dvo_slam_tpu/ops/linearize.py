@@ -58,7 +58,7 @@ class Linearization(NamedTuple):
 
 def prepare_reference(ref_slab, K, cfg: TrackerConfig, row_offset=0) -> RefData:
     """Back-project + select reference pixels (PointSelection equivalent)."""
-    H, W, _ = ref_slab.shape
+    _, H, W = ref_slab.shape
     dtype = ref_slab.dtype
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
     v, u = jnp.meshgrid(
@@ -66,19 +66,19 @@ def prepare_reference(ref_slab, K, cfg: TrackerConfig, row_offset=0) -> RefData:
     )
     u = u.reshape(-1)
     v = v.reshape(-1) + row_offset
-    z = ref_slab[..., pyr.CH_Z].reshape(-1)
-    i1 = ref_slab[..., pyr.CH_I].reshape(-1)
+    z = ref_slab[pyr.CH_Z].reshape(-1)
+    i1 = ref_slab[pyr.CH_I].reshape(-1)
     selected = jnp.isfinite(z)
     if cfg.intensity_grad_threshold > 0.0:
         gi = jnp.hypot(
-            ref_slab[..., pyr.CH_IDX].reshape(-1),
-            ref_slab[..., pyr.CH_IDY].reshape(-1),
+            ref_slab[pyr.CH_IDX].reshape(-1),
+            ref_slab[pyr.CH_IDY].reshape(-1),
         )
         selected &= gi >= cfg.intensity_grad_threshold
     if cfg.depth_grad_threshold > 0.0:
         gz = jnp.hypot(
-            ref_slab[..., pyr.CH_ZDX].reshape(-1),
-            ref_slab[..., pyr.CH_ZDY].reshape(-1),
+            ref_slab[pyr.CH_ZDX].reshape(-1),
+            ref_slab[pyr.CH_ZDY].reshape(-1),
         )
         selected &= jnp.isfinite(gz) & (gz >= cfg.depth_grad_threshold)
     z_safe = jnp.where(selected, z, 1.0)
@@ -92,8 +92,13 @@ def _psum(x, axis_name):
 
 
 def _sample_gather(cur_slab, u, v):
-    """XLA row-gather bilinear sample. Returns (channels tuple, inbounds)."""
-    H, W, C = cur_slab.shape
+    """XLA row-gather bilinear sample. Returns (channels tuple, inbounds).
+
+    cur_slab is channel-major (C, H, W); the row-gather table wants
+    point-major (H*W, C) — this transpose materializes a lane-padded array
+    once per call, which is acceptable on the portable path only (the
+    pallas sampler consumes the channel-major layout directly)."""
+    C, H, W = cur_slab.shape
     dtype = cur_slab.dtype
     u0f = jnp.floor(u)
     v0f = jnp.floor(v)
@@ -102,7 +107,7 @@ def _sample_gather(cur_slab, u, v):
     v0 = jnp.clip(v0f.astype(jnp.int32), 0, H - 2)
     fu = (u - u0.astype(dtype))[:, None]
     fv = (v - v0.astype(dtype))[:, None]
-    table = cur_slab.reshape(H * W, C)
+    table = jnp.transpose(cur_slab, (1, 2, 0)).reshape(H * W, C)
     base = v0 * W + u0
     s00 = jnp.take(table, base, axis=0, mode="clip")
     s01 = jnp.take(table, base + 1, axis=0, mode="clip")
@@ -124,7 +129,7 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     from ops.pallas.sampler.slab_to_cmajor) — required when
     cfg.sampler_backend == "pallas".
     """
-    H, W, C = cur_slab.shape
+    C, H, W = cur_slab.shape
     dtype = cur_slab.dtype
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
     R, t = T[:3, :3], T[:3, 3]

@@ -199,16 +199,16 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
 
 
 def slab_to_cmajor(slab):
-    """(H, W, C) -> (C*Hpad, Wp) channel-blocked kernel layout.
+    """(C, H, W) -> (C*Hpad, Wp) channel-blocked kernel layout.
 
-    Once per frame/level: channel c occupies rows [c*Hpad, c*Hpad + H) with
+    Once per frame/level (a pad + reshape — the slab is already
+    channel-major): channel c occupies rows [c*Hpad, c*Hpad + H) with
     Hpad = round_up(H, 8); width padded to a multiple of 128 (DMA
     alignment). Padding is zero-filled and never selected (y0/x0 are
     clipped to H-2/W-2 and out-of-image footprints are masked upstream).
     """
-    H, W, C = slab.shape
+    C, H, W = slab.shape
     Hpad = _round_up(H, 8)
     Wp = _round_up(W, 128)
-    chan = jnp.transpose(slab, (2, 0, 1))  # (C, H, W)
-    chan = jnp.pad(chan, ((0, 0), (0, Hpad - H), (0, Wp - W)))
+    chan = jnp.pad(slab, ((0, 0), (0, Hpad - H), (0, Wp - W)))
     return chan.reshape(C * Hpad, Wp)

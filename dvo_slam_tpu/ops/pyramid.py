@@ -6,8 +6,13 @@ central-difference gradients (x0.5), intensity 2x2-average downsampling, and
 invalid-aware (NaN) depth downsampling. The per-level 6-channel "slab"
 [I, Z, dI/dx, dI/dy, dZ/dx, dZ/dy] replaces the reference's interleaved
 IntensityAndDepth SSE acceleration structure
-(RgbdImage::buildAccelerationStructure): one bilinear gather of the slab
+(RgbdImage::buildAccelerationStructure): one bilinear sample of the slab
 fetches everything the IRLS inner loop needs at a warped pixel.
+
+Slabs are CHANNEL-MAJOR (6, H, W): with channels minor ((H, W, 6)) the
+array's last dimension pads to 128 lanes on TPU, inflating every slab
+write/read ~21x — building a 640x480 pyramid cost 0.65 ms that way and
+0.04 ms this way.
 
 All functions are jittable and shape-static; a pyramid is a tuple (one entry
 per level, finest first) so it works as a pytree leaf container in vmap-ed
@@ -23,11 +28,23 @@ CH_I, CH_Z, CH_IDX, CH_IDY, CH_ZDX, CH_ZDY = 0, 1, 2, 3, 4, 5
 NUM_CHANNELS = 6
 
 
+import jax
+
+
+def _pool2x2_sum(x):
+    """2x2/stride-2 window sum via reduce_window (TPU pooling path).
+
+    A reshape to (H/2, 2, W/2, 2) would put a size-2 dimension minormost,
+    which pads to 128 lanes and costs ~64x its logical bandwidth.
+    """
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (2, 2), (2, 2), "VALID"
+    )
+
+
 def downsample_intensity(img):
     """2x2 box-average downsample (reference RgbdImagePyramid intensity path)."""
-    H, W = img.shape
-    x = img.reshape(H // 2, 2, W // 2, 2)
-    return x.mean(axis=(1, 3))
+    return _pool2x2_sum(img) * 0.25
 
 
 def downsample_depth(depth):
@@ -36,12 +53,10 @@ def downsample_depth(depth):
     Mirrors the reference's invalid-aware depth downsampling (SURVEY.md C2):
     a plain average would smear NaN/0 invalid pixels across the pyramid.
     """
-    H, W = depth.shape
-    x = depth.reshape(H // 2, 2, W // 2, 2)
-    finite = jnp.isfinite(x)
-    total = jnp.where(finite, x, 0.0).sum(axis=(1, 3))
-    count = finite.sum(axis=(1, 3))
-    return jnp.where(count > 0, total / jnp.maximum(count, 1), jnp.nan)
+    finite = jnp.isfinite(depth)
+    total = _pool2x2_sum(jnp.where(finite, depth, 0.0))
+    count = _pool2x2_sum(finite.astype(depth.dtype))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), jnp.nan)
 
 
 def gradients(img):
@@ -63,14 +78,14 @@ def gradients(img):
 
 
 def build_slab(intensity, depth):
-    """Stack one level's [I, Z, Ix, Iy, Zx, Zy] -> (H, W, 6)."""
+    """Stack one level's [I, Z, Ix, Iy, Zx, Zy] -> (6, H, W)."""
     idx, idy = gradients(intensity)
     zdx, zdy = gradients(depth)
-    return jnp.stack([intensity, depth, idx, idy, zdx, zdy], axis=-1)
+    return jnp.stack([intensity, depth, idx, idy, zdx, zdy], axis=0)
 
 
 def build_pyramid(intensity, depth, num_levels):
-    """Build the full pyramid: tuple of (H/2^l, W/2^l, 6) slabs, finest first.
+    """Build the full pyramid: tuple of (6, H/2^l, W/2^l) slabs, finest first.
 
     intensity: (H, W) float (0..255 grayscale); depth: (H, W) metric meters,
     NaN = invalid. Equivalent to RgbdImagePyramid::build +

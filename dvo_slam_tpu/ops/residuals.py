@@ -38,22 +38,22 @@ def reference_points(ref_slab, K, intensity_grad_threshold=0.0, depth_grad_thres
 
     Returns (points (N,3), intensity (N,), selected (N,)) with N = H*W.
     """
-    H, W, _ = ref_slab.shape
+    _, H, W = ref_slab.shape
     u, v = camera.pixel_grid(H, W, dtype=ref_slab.dtype)
     v = v + row_offset
-    z = ref_slab[..., pyr.CH_Z].reshape(-1)
-    i1 = ref_slab[..., pyr.CH_I].reshape(-1)
+    z = ref_slab[pyr.CH_Z].reshape(-1)
+    i1 = ref_slab[pyr.CH_I].reshape(-1)
     points = camera.backproject(z, u, v, K)
 
     selected = jnp.isfinite(z)
     if intensity_grad_threshold > 0.0:
         gi = jnp.hypot(
-            ref_slab[..., pyr.CH_IDX].reshape(-1), ref_slab[..., pyr.CH_IDY].reshape(-1)
+            ref_slab[pyr.CH_IDX].reshape(-1), ref_slab[pyr.CH_IDY].reshape(-1)
         )
         selected &= gi >= intensity_grad_threshold
     if depth_grad_threshold > 0.0:
         gz = jnp.hypot(
-            ref_slab[..., pyr.CH_ZDX].reshape(-1), ref_slab[..., pyr.CH_ZDY].reshape(-1)
+            ref_slab[pyr.CH_ZDX].reshape(-1), ref_slab[pyr.CH_ZDY].reshape(-1)
         )
         selected &= jnp.isfinite(gz) & (gz >= depth_grad_threshold)
     return points, i1, selected
@@ -66,7 +66,7 @@ def compute_residuals(points, i1, selected, cur_slab, K, T, sampler=interp.bilin
       points: (N, 3) reference back-projections (NaN rows where invalid).
       i1: (N,) reference intensities.
       selected: (N,) reference-side validity/selection mask.
-      cur_slab: (H, W, 6) current-frame slab [I, Z, Ix, Iy, Zx, Zy].
+      cur_slab: (6, H, W) current-frame slab [I, Z, Ix, Iy, Zx, Zy].
       K: (4,) intrinsics of this level.
       T: (4, 4) current pose estimate (maps reference camera frame to
          current camera frame).
@@ -79,7 +79,8 @@ def compute_residuals(points, i1, selected, cur_slab, K, T, sampler=interp.bilin
     p_cur = points @ R.T + t  # (N, 3)
     uv = camera.project(p_cur, K)
 
-    sampled, inbounds = sampler(cur_slab, uv)
+    # interp.bilinear samples (H, W, C); the canonical slab is (C, H, W).
+    sampled, inbounds = sampler(jnp.transpose(cur_slab, (1, 2, 0)), uv)
     i2 = sampled[:, pyr.CH_I]
     z2 = sampled[:, pyr.CH_Z]
     grad_i2 = sampled[:, (pyr.CH_IDX, pyr.CH_IDY)]  # (N, 2)

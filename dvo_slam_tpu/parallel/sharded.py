@@ -43,17 +43,18 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
 
 
 def shard_pyramid_specs(num_levels: int, batch: bool = True, pixel: bool = True):
-    """PartitionSpecs for a stacked pyramid tuple: (B, H, W, 6) per level."""
+    """PartitionSpecs for a stacked pyramid tuple: (B, 6, H, W) per level —
+    pixel rows are axis 2 (slabs are channel-major)."""
     b = "batch" if batch else None
     p = "pixel" if pixel else None
-    return tuple(P(b, p) for _ in range(num_levels))
+    return tuple(P(b, None, p) for _ in range(num_levels))
 
 
 def sharded_track_pairs(mesh: Mesh, cfg: TrackerConfig):
     """Compile a batched tracker with dp over pairs and sp over pixel rows.
 
     Returns fn(ref_pyrs, cur_pyrs, Ks, T_inits) -> TrackResult where
-    ref_pyrs/cur_pyrs are tuples of (B, H, W, 6) with B divisible by the
+    ref_pyrs/cur_pyrs are tuples of (B, 6, H, W) with B divisible by the
     'batch' axis and each level's H divisible by the 'pixel' axis.
     """
     n_lvl = cfg.num_levels

@@ -113,6 +113,18 @@ def orbit_trajectory(num_frames, radius=0.04, step=None):
     return poses
 
 
+def add_sensor_noise(intensity, depth, rng, intensity_std=2.0,
+                     depth_rel_std=0.01, dropout=0.0):
+    """Kinect-like sensor noise: additive intensity noise, depth noise
+    growing with range (~1% of Z), optional random depth dropout."""
+    i = intensity + rng.normal(scale=intensity_std, size=intensity.shape)
+    i = np.clip(i, 0.0, 255.0).astype(np.float32)
+    z = depth * (1.0 + rng.normal(scale=depth_rel_std, size=depth.shape))
+    if dropout > 0:
+        z = np.where(rng.uniform(size=depth.shape) < dropout, np.nan, z)
+    return i, z.astype(np.float32)
+
+
 def render_sequence(scene, K, width, height, poses):
     """Render a full RGB-D sequence at the given camera-to-world poses."""
     frames = []

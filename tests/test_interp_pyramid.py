@@ -81,8 +81,8 @@ def test_build_pyramid_shapes():
     depth = jnp.full((64, 80), 2.0)
     pyr = pyramid.build_pyramid(intensity, depth, 4)
     assert len(pyr) == 4
-    assert pyr[0].shape == (64, 80, 6)
-    assert pyr[3].shape == (8, 10, 6)
+    assert pyr[0].shape == (6, 64, 80)
+    assert pyr[3].shape == (6, 8, 10)
 
 
 def test_convert_raw_depth():

@@ -29,14 +29,16 @@ def _coords(max_shift=3.0):
 
 
 def test_sampler_matches_gather_bilinear():
-    slab = jax.random.normal(jax.random.PRNGKey(0), (H, W, C), jnp.float32)
+    slab = jax.random.normal(jax.random.PRNGKey(0), (C, H, W), jnp.float32)
     u, v = _coords()
     cm = sampler.slab_to_cmajor(slab)
     smp, valid = sampler.sample_slab(
         cm, u, v, height=H, rows_per_tile=1, margin=8,
         precision=jax.lax.Precision.HIGHEST, interpret=True,
     )
-    ref_vals, ref_inb = interp.bilinear(slab, jnp.stack([u, v], axis=-1))
+    ref_vals, ref_inb = interp.bilinear(
+        jnp.transpose(slab, (1, 2, 0)), jnp.stack([u, v], axis=-1)
+    )
     valid = np.asarray(valid)
     ref_inb = np.asarray(ref_inb)
     both = valid & ref_inb
@@ -50,7 +52,7 @@ def test_sampler_matches_gather_bilinear():
 
 def test_sampler_window_masking():
     """Points far outside the band window must be masked, not mis-sampled."""
-    slab = jnp.ones((H, W, C))
+    slab = jnp.ones((C, H, W))
     vg, ug = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",

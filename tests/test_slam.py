@@ -91,6 +91,57 @@ def test_entropy_ratio_triggers_keyframe_switch():
     assert ate < 0.01, f"ATE {ate*1000:.2f} mm"
 
 
+def test_loop_closure_improves_drifted_trajectory():
+    """With sensor noise, frame-to-frame drift accumulates; closing the
+    orbit loop must reduce ATE versus the same run without loop closure."""
+    rng = np.random.default_rng(3)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(16, radius=0.08)
+    frames = [
+        synthetic.add_sensor_noise(i, z, rng, intensity_std=3.0,
+                                   depth_rel_std=0.015)
+        for i, z in synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    ]
+
+    def run(loop):
+        slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=loop)
+        slam.init(poses[0])
+        for i, (intensity, depth) in enumerate(frames):
+            if i > 0 and i % 2 == 0:
+                slam.force_keyframe()
+            slam.update(intensity, depth, i / 30.0)
+        est = [T for _, T in slam.finish()]
+        return evaluate.ate_rmse(est, poses), slam
+
+    ate_loop, slam_loop = run(True)
+    ate_odo, _ = run(False)
+    assert slam_loop.num_loop_edges >= 1
+    assert ate_loop <= ate_odo * 1.05, (ate_loop, ate_odo)
+    assert ate_loop < 0.01, f"SLAM ATE with noise {ate_loop*1000:.2f} mm"
+
+
+def test_reset_restarts_tracking():
+    """reset() must anchor a fresh keyframe (reference pose-reset path)."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(6, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i in range(3):
+        slam.update(frames[i][0], frames[i][1], i / 30.0)
+    n_kf = len(slam.keyframes)
+    anchor = np.eye(4)
+    anchor[:3, 3] = [1.0, 2.0, 3.0]
+    slam.reset(anchor)
+    out = slam.update(frames[3][0], frames[3][1], 0.1)
+    np.testing.assert_allclose(out, anchor, atol=1e-9)
+    assert len(slam.keyframes) == n_kf + 1
+    # Tracking continues from the new anchor.
+    out2 = slam.update(frames[4][0], frames[4][1], 0.133)
+    assert np.isfinite(out2).all()
+    assert np.linalg.norm(out2[:3, 3] - anchor[:3, 3]) < 0.05
+
+
 def test_garbage_frame_recovery():
     """A corrupted frame mid-sequence must not kill the pipeline (reference
     NaN-voter / forced-keyframe fallback semantics)."""
