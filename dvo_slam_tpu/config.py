@@ -161,6 +161,11 @@ class SlamConfig:
     # padded/chunked to this size).
     validation_batch: int = 8
 
+    # Fuse the keyframe-relative estimate with the chained frame-to-frame
+    # odometry estimate by information weighting (reference LocalMap
+    # keyframe + odometry measurements, dvo_slam/src/local_map.cpp).
+    fuse_odometry: bool = True
+
     # --- pose graph optimization (g2o replacement) ---
     optimization_iterations: int = 20
     final_optimization_iterations: int = 100

@@ -218,6 +218,15 @@ class KeyframeSlam:
             kf.entropy_sum += kf_entropy
             kf.entropy_count += 1
             T_kf_cur = r_kf_T
+            if self.slam_cfg.fuse_odometry and not odo_nan:
+                # LocalMap::optimize() equivalent: fuse the direct
+                # keyframe alignment with the chained odometry estimate by
+                # their information matrices.
+                T_alt = np.asarray(transforms[1], np.float64) @ self._T_kf_prev
+                T_kf_cur = fuse_relative_poses(
+                    r_kf_T, np.asarray(informations[0], np.float64),
+                    T_alt, np.asarray(informations[1], np.float64),
+                )
             self._T_kf_prev = T_kf_cur
             self._prev_pyr = pyr
             self.frames.append(FrameRecord(timestamp, kf.idx, T_kf_cur.copy()))
@@ -383,6 +392,29 @@ class KeyframeSlam:
             if mask[e] and not consecutive and w[e] < self.slam_cfg.outlier_weight_threshold:
                 mask[e] = False
         self.graph = self.graph._replace(edge_mask=jnp.asarray(mask))
+
+
+def fuse_relative_poses(T_a, info_a, T_b, info_b):
+    """Information-weighted SE(3) fusion of two estimates of the same
+    relative pose (host, f64).
+
+    Equivalent of the reference LocalMap::optimize() (dvo_slam/src/
+    local_map.cpp): the keyframe->current measurement and the chained
+    odometry measurement are fused instead of trusting the keyframe
+    alignment alone. One Gauss-Newton step from T_a (exact at this scale:
+    the two estimates differ by a small twist):
+
+        xi = log(T_b T_a^{-1});  T = exp((L_a + L_b)^{-1} L_b xi) T_a
+    """
+    xi = se3_np.log(np.asarray(T_b, np.float64) @ se3_np.inverse(T_a))
+    L = info_a + info_b
+    try:
+        delta = np.linalg.solve(L, info_b @ xi)
+    except np.linalg.LinAlgError:
+        return np.asarray(T_a, np.float64)
+    if not np.isfinite(delta).all():
+        return np.asarray(T_a, np.float64)
+    return se3_np.exp(delta) @ T_a
 
 
 def _renormalize(T: np.ndarray) -> np.ndarray:
