@@ -48,6 +48,11 @@ class TrackerConfig:
     # Pose prior weight (reference Config::Mu). 0 = disabled.
     mu: float = 0.0
 
+    # Seed each frame's alignment with the previous relative motion
+    # (reference Config::UseInitialEstimate, constant-velocity model).
+    # Consumed by the sequence/SLAM orchestrators, not by track() itself.
+    use_initial_estimate: bool = True
+
     # Robust weighting (reference Config::UseWeighting + estimator/influence
     # selection). The default bivariate t-distribution path corresponds to
     # scale_estimator="tdist" + influence="tdist" with dof=5

@@ -127,6 +127,7 @@ class KeyframeSlam:
         # Per-frame tracking state.
         self._prev_pyr = None
         self._T_kf_prev = np.eye(4)  # prev-cam <- kf-cam (i.e. kf -> prev)
+        self._last_odo = np.eye(4)  # last frame-to-frame increment
         self._initialized = False
         self._force_next = False
 
@@ -176,8 +177,16 @@ class KeyframeSlam:
 
         kf = self.keyframes[-1]
         # --- LocalTracker: fused pyramid build + dual alignment ---
+        # Keyframe alignment seeds from the last keyframe-relative pose;
+        # frame-to-frame alignment from the last increment (constant
+        # velocity, reference UseInitialEstimate).
+        odo_init = (
+            self._last_odo if self.tracker_cfg.use_initial_estimate
+            else np.eye(4)
+        )
         inits = jnp.stack(
-            [jnp.asarray(self._T_kf_prev, jnp.float32), jnp.eye(4, dtype=jnp.float32)]
+            [jnp.asarray(self._T_kf_prev, jnp.float32),
+             jnp.asarray(odo_init, jnp.float32)]
         )
         pyr, res = _slam_frame_step(
             jnp.asarray(intensity, jnp.float32), jnp.asarray(depth, jnp.float32),
@@ -195,6 +204,8 @@ class KeyframeSlam:
         r_odo_T = np.asarray(transforms[1], np.float64)
         kf_nan = bool(nans[0])
         odo_nan = bool(nans[1])
+        if not odo_nan:
+            self._last_odo = r_odo_T
         kf_entropy = float(entropies[0])
         kf_valid_ratio = float(valid_ratios[0])
 

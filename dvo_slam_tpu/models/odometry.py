@@ -45,16 +45,20 @@ def track_sequence(intensities, depths, K, cfg: TrackerConfig):
     Ks = camera.pyramid_intrinsics(K, cfg.num_levels)
     pyr0 = pyramid.build_pyramid(intensities[0], depths[0], cfg.num_levels)
 
-    def step(prev_pyr, frame):
+    def step(carry, frame):
+        prev_pyr, last_rel = carry
         intensity, depth = frame
         cur_pyr = pyramid.build_pyramid(intensity, depth, cfg.num_levels)
-        res = dense_tracker.track(prev_pyr, cur_pyr, Ks, jnp.eye(4), cfg)
+        # Constant-velocity warm start (reference Config::UseInitialEstimate:
+        # seed with the previous increment) — typically halves iterations.
+        T0 = last_rel if cfg.use_initial_estimate else jnp.eye(4)
+        res = dense_tracker.track(prev_pyr, cur_pyr, Ks, T0, cfg)
         out = (res.transformation, res.entropy, res.valid_ratio,
                res.iterations, res.is_nan())
-        return cur_pyr, out
+        return (cur_pyr, res.transformation), out
 
     _, (rels, entropy, valid_ratio, iterations, nan) = jax.lax.scan(
-        step, pyr0, (intensities[1:], depths[1:])
+        step, (pyr0, jnp.eye(4)), (intensities[1:], depths[1:])
     )
     return {
         "rel_poses": rels,
