@@ -81,16 +81,41 @@ def associate(a_stamps, b_stamps, max_difference=0.02):
     return sorted(pairs)
 
 
-def load_image_pair(dataset_dir, rgb_file, depth_file):
+def _native():
+    """The C++ decoder (dvo_slam_tpu.native), or None if unavailable."""
+    try:
+        from dvo_slam_tpu import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
+def load_image_pair(dataset_dir, rgb_file, depth_file, use_native=True):
     """Load one frame: (intensity f32 (H,W) 0..255, depth f32 meters NaN-invalid).
 
     Grayscale conversion + uint16/5000 depth conversion, mirroring
-    cv_bridge + SurfacePyramid::convertRawDepthImage.
+    cv_bridge + SurfacePyramid::convertRawDepthImage. Prefers the native
+    C++ decoder (native/loader.cpp); falls back to OpenCV.
     """
-    import cv2
-
     rgb_path = os.path.join(dataset_dir, rgb_file)
     depth_path = os.path.join(dataset_dir, depth_file)
+
+    native = _native() if use_native else None
+    if native is not None:
+        try:
+            w, h = native.png_size(rgb_path)
+            intensity = native.decode_intensity(rgb_path, w, h)
+            wd, hd = native.png_size(depth_path)
+            depth = native.decode_depth(depth_path, wd, hd, DEPTH_SCALE)
+            return intensity, depth
+        except (IOError, OSError):
+            pass  # fall through to OpenCV (e.g. exotic PNG variants)
+
+    import cv2
+
     rgb = cv2.imread(rgb_path, cv2.IMREAD_GRAYSCALE)
     if rgb is None:
         raise FileNotFoundError(rgb_path)
@@ -139,6 +164,28 @@ class TumDataset:
         ts, rgb_file, _, depth_file = self.pairs[idx]
         intensity, depth = load_image_pair(self.dir, rgb_file, depth_file)
         return ts, intensity, depth
+
+    def prefetch_iter(self, prefetch: int = 4):
+        """Iterate (timestamp, intensity, depth) with background decoding.
+
+        Uses the native C++ prefetch loader (decode overlaps device
+        compute, reference ROS-pipeline semantics); falls back to
+        synchronous decoding when the native library is unavailable. The
+        sequence must be dimensionally homogeneous (TUM sequences are).
+        """
+        native = _native()
+        if native is None or not self.pairs:
+            for i in range(len(self)):
+                yield self[i]
+            return
+        w, h = native.png_size(os.path.join(self.dir, self.pairs[0][1]))
+        rgb_paths = [os.path.join(self.dir, p[1]) for p in self.pairs]
+        depth_paths = [os.path.join(self.dir, p[3]) for p in self.pairs]
+        with native.PrefetchLoader(rgb_paths, depth_paths, w, h,
+                                   depth_scale=DEPTH_SCALE,
+                                   prefetch=prefetch) as loader:
+            for idx, intensity, depth in loader:
+                yield self.pairs[idx][0], intensity, depth
 
     def groundtruth_pose(self, timestamp, max_difference=0.05) -> Optional[np.ndarray]:
         """Closest groundtruth pose to `timestamp` (reference groundtruth.h)."""
