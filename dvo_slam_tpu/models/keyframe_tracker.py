@@ -172,7 +172,10 @@ class KeyframeSlam:
             self._prev_pyr = pyr
             self._T_kf_prev = np.eye(4)
             self._initialized = True
-            self.frames.append(FrameRecord(timestamp, 0, np.eye(4)))
+            # NOT index 0: after reset() this is a fresh anchor keyframe.
+            self.frames.append(
+                FrameRecord(timestamp, self.keyframes[-1].idx, np.eye(4))
+            )
             return self._T0.copy()
 
         kf = self.keyframes[-1]

@@ -1,0 +1,45 @@
+"""Batch odometry over many sequences — data-parallel scale-out.
+
+The reference is a one-robot real-time system; batch processing fleets of
+recorded sequences is this framework's scale-out capability (SURVEY.md
+§2.5 P4 "new capability, not parity"): each device (or the single device's
+vmap batch) runs the device-resident sequence scan (models/odometry.py)
+over its shard of sequences — embarrassingly parallel over ICI, no
+collectives needed for odometry; combine with parallel/sharded.py's
+pixel sharding when individual frames are large.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvo_slam_tpu.config import TrackerConfig
+from dvo_slam_tpu.models import odometry
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_sequences_batched(intensities, depths, K, cfg: TrackerConfig):
+    """vmap of the device-resident sequence scan over a sequence batch.
+
+    intensities/depths: (B, T, H, W); returns dict of (B, T-1, ...) arrays.
+    """
+    return jax.vmap(lambda i, d: odometry.track_sequence(i, d, K, cfg))(
+        intensities, depths
+    )
+
+
+def track_sequences_sharded(mesh: Mesh, intensities, depths, K,
+                            cfg: TrackerConfig, axis: str = "batch"):
+    """Shard the sequence batch over a mesh axis and run the batched scan.
+
+    B must be divisible by the mesh axis size. Sequences never communicate:
+    the sharding constraint is all XLA needs to partition the whole scan.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    intensities = jax.device_put(intensities, sharding)
+    depths = jax.device_put(depths, sharding)
+    return track_sequences_batched(intensities, depths, K, cfg)

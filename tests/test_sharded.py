@@ -63,6 +63,35 @@ def test_sharded_matches_single_device(mesh):
     )
 
 
+def test_batch_sequences_sharded(mesh):
+    """Sequence-batch odometry sharded over the mesh == unsharded."""
+    from dvo_slam_tpu.parallel import batch_slam
+
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=8)
+    K_t = (32.0, 32.0, 31.5, 23.5)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(4, radius=0.03)
+    frames = synthetic.render_sequence(scene, np.asarray(K_t), 64, 48, poses)
+    seq_i = jnp.stack([jnp.asarray(f[0]) for f in frames])
+    seq_z = jnp.stack([jnp.asarray(f[1]) for f in frames])
+    B = 8
+    batch_i = jnp.broadcast_to(seq_i, (B,) + seq_i.shape)
+    batch_z = jnp.broadcast_to(seq_z, (B,) + seq_z.shape)
+    K = camera.intrinsics(*K_t)
+
+    out_sharded = batch_slam.track_sequences_sharded(
+        mesh, batch_i, batch_z, K, cfg
+    )
+    out_local = batch_slam.track_sequences_batched(batch_i, batch_z, K, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded["rel_poses"]),
+        np.asarray(out_local["rel_poses"]),
+        atol=1e-5,
+    )
+    assert out_sharded["rel_poses"].shape == (B, 3, 4, 4)
+
+
 def test_sharded_pose_graph_build_matches(mesh):
     """Edge-sharded Hessian assembly == single-device assembly."""
     from dvo_slam_tpu.models import pose_graph

@@ -140,6 +140,10 @@ def test_reset_restarts_tracking():
     out2 = slam.update(frames[4][0], frames[4][1], 0.133)
     assert np.isfinite(out2).all()
     assert np.linalg.norm(out2[:3, 3] - anchor[:3, 3]) < 0.05
+    # trajectory() must place the reset frame at the anchor too (the frame
+    # record must reference the NEW keyframe, not keyframe 0).
+    traj = dict((t, T) for t, T in slam.trajectory())
+    np.testing.assert_allclose(traj[0.1], anchor, atol=1e-9)
 
 
 def test_garbage_frame_recovery():
