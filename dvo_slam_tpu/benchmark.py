@@ -61,9 +61,9 @@ def run_sequence(
         slam_cfg,
         enable_loop_closure=(mode == "slam"),
     )
-    if mode == "odometry":
-        # Frame-to-frame: force a keyframe switch every frame.
-        slam_cfg = dataclasses.replace(slam_cfg, min_entropy_ratio=np.inf)
+    # mode == "odometry": frame-to-frame tracking is realized by forcing a
+    # keyframe switch every frame in the loop below (reference
+    # camera_tracker semantics).
 
     frames = list(frame_iter)
     if not frames:

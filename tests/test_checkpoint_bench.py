@@ -70,6 +70,19 @@ def test_benchmark_synthetic_odometry():
     json.loads(res.to_json())  # serializable
 
 
+def test_benchmark_odometry_mode():
+    """Frame-to-frame odometry mode (reference camera_tracker semantics):
+    every frame becomes a keyframe; accuracy holds on a clean sequence."""
+    from dvo_slam_tpu import benchmark
+
+    res = benchmark.run_synthetic(
+        num_frames=6, width=W, height=H,
+        tracker_cfg=TRACKER, slam_cfg=SLAM, mode="odometry",
+    )
+    assert res.num_keyframes == 6
+    assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.01
+
+
 def test_cli_evaluate(tmp_path):
     from dvo_slam_tpu.utils import se3_np, tum
 
