@@ -49,7 +49,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Output channel rows (channel-major (8, N)).
-OUT_CHANNELS = 8  # [I, Z, Ix, Iy, Zx, Zy, window_ok, unused]
+OUT_CHANNELS = 8  # [I, Z, Ix, Iy, Zx, Zy, finite_mask, window_ok]
+
+# A bilinear sample of the 0/1 finiteness-mask channel equals 1.0 only when
+# the full 2x2 footprint is finite; a NaN at any corner drops it by at
+# least that corner's bilinear weight. The validity threshold is therefore
+# per-point (1 - max(w_min/2, noise)): exact gather-path NaN parity
+# whenever the smallest corner weight w_min exceeds the matmul rounding
+# noise, and slip-throughs bounded by `noise` relative bias otherwise.
+_MASK_NOISE_DEFAULT = 4e-3  # bf16 one-hot weights: ~2^-8 rounding
+_MASK_NOISE_HIGHEST = 1e-5  # f32 passes
 
 
 def _round_up(x, m):
@@ -111,12 +120,13 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     """Bilinearly sample all C channels at warped coords.
 
     Args:
-      slab_cmajor: (C*Hpad, Wp) channel-blocked slab from slab_to_cmajor
-        (per-channel row blocks padded to 8 rows, width padded to 128).
+      slab_cmajor: ((C+1)*Hpad, Wp) channel-blocked slab from
+        slab_to_cmajor (per-channel row blocks padded to 8 rows, width
+        padded to 128; block C is the finiteness mask, NaNs zeroed).
       u, v: (N,) warped pixel coordinates for the ref grid, row-major
         (N = H*W with H, W the UNPADDED image dims).
       height: the unpadded image height H (static).
-      channels: number of real channels C in the slab (static).
+      channels: number of real (pre-mask) channels C in the slab (static).
       rows_per_tile: reference rows per grid step (must divide H with
         rows_per_tile*W a multiple of 128 — ops/linearize.py picks it).
       margin: window margin in rows above/below the band.
@@ -127,10 +137,13 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
 
     Returns:
       samples: (C, N) sampled channels (garbage where invalid).
-      valid:   (N,) bool — in-window AND full 2x2 footprint in-bounds.
+      valid:   (N,) bool — in-window AND full 2x2 footprint in-bounds AND
+        every footprint pixel finite in every channel (the gather path's
+        per-point NaN semantics, via the sampled mask channel).
     """
     CHpad, Wp = slab_cmajor.shape
-    C = channels
+    C = channels + 1  # +1: finiteness-mask channel travels with the data
+    assert C + 1 <= OUT_CHANNELS, channels
     Hpad = CHpad // C
     N = u.shape[0]
     H = height
@@ -194,21 +207,37 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         fy.reshape(NT, 1, P),
         slab_cmajor,
     )
-    valid = inb & (out[C] > 0.5)
-    return out[:C], valid
+    noise = (_MASK_NOISE_HIGHEST if precision == jax.lax.Precision.HIGHEST
+             else _MASK_NOISE_DEFAULT)
+    w_min = jnp.minimum(fx, 1.0 - fx) * jnp.minimum(fy, 1.0 - fy)
+    thresh = 1.0 - jnp.maximum(0.5 * w_min, noise)
+    valid = inb & (out[C] > 0.5) & (out[channels] >= thresh)
+    return out[:channels], valid
 
 
 def slab_to_cmajor(slab):
-    """(C, H, W) -> (C*Hpad, Wp) channel-blocked kernel layout.
+    """(C, H, W) -> ((C+1)*Hpad, Wp) channel-blocked kernel layout.
 
     Once per frame/level (a pad + reshape — the slab is already
     channel-major): channel c occupies rows [c*Hpad, c*Hpad + H) with
     Hpad = round_up(H, 8); width padded to a multiple of 128 (DMA
     alignment). Padding is zero-filled and never selected (y0/x0 are
     clipped to H-2/W-2 and out-of-image footprints are masked upstream).
+
+    NaN handling (TUM depth is full of NaN-invalid pixels): a single NaN
+    anywhere in a band's row window would poison the one-hot matmul for
+    EVERY point in that band (NaN * 0 = NaN), so invalid pixels are zeroed
+    here and an extra 0/1 all-channels-finite mask channel (block C) is
+    appended; sample_slab samples it through the same kernel and requires
+    ~1.0 for validity — reproducing the gather path's per-point NaN
+    semantics without NaNs ever entering the MXU.
     """
     C, H, W = slab.shape
+    finite = jnp.isfinite(slab).all(axis=0).astype(slab.dtype)
+    slab = jnp.concatenate(
+        [jnp.where(jnp.isfinite(slab), slab, 0.0), finite[None]], axis=0
+    )
     Hpad = _round_up(H, 8)
     Wp = _round_up(W, 128)
     chan = jnp.pad(slab, ((0, 0), (0, Hpad - H), (0, Wp - W)))
-    return chan.reshape(C * Hpad, Wp)
+    return chan.reshape((C + 1) * Hpad, Wp)

@@ -50,6 +50,43 @@ def test_sampler_matches_gather_bilinear():
     )
 
 
+def test_sampler_nan_depth_semantics():
+    """NaN pixels must invalidate ONLY points whose 2x2 footprint touches
+    them — not poison the whole band through the one-hot matmul."""
+    slab = jax.random.normal(jax.random.PRNGKey(1), (C, H, W), jnp.float32)
+    nan_px = [(5, 40), (20, 7), (29, 100)]
+    for (r, c) in nan_px:
+        slab = slab.at[1, r, c].set(jnp.nan)  # depth channel
+    u, v = _coords()
+    cm = sampler.slab_to_cmajor(slab)
+    smp, valid = sampler.sample_slab(
+        cm, u, v, height=H, rows_per_tile=1, margin=8,
+        precision=jax.lax.Precision.HIGHEST, interpret=True,
+    )
+    smp = np.asarray(smp)
+    valid = np.asarray(valid)
+    # No NaN ever leaves the kernel, and valid points match the gather path.
+    assert np.isfinite(smp).all()
+    chans, inb = lin_ops._sample_gather(slab, u, v)
+    ref_ok = np.array(inb)
+    for ch in chans:
+        ref_ok &= np.isfinite(np.asarray(ch))
+    # No over-masking: every gather-valid point stays valid.
+    assert not (ref_ok & ~valid).any()
+    # Slip-throughs allowed only where the smallest corner weight is below
+    # the matmul noise floor (negligible zero-substitution bias).
+    fx = np.asarray(u - jnp.clip(jnp.floor(u), 0, W - 2))
+    fy = np.asarray(v - jnp.clip(jnp.floor(v), 0, H - 2))
+    w_min = np.minimum(fx, 1 - fx) * np.minimum(fy, 1 - fy)
+    slipped = valid & ~ref_ok
+    assert (w_min[slipped] < 2 * sampler._MASK_NOISE_HIGHEST).all()
+    # Values agree exactly on the commonly-valid points.
+    ref_vals = np.stack([np.asarray(ch) for ch in chans])
+    both = valid & ref_ok
+    np.testing.assert_allclose(smp[:, both], ref_vals[:, both], atol=1e-5)
+    assert valid.mean() > 0.9  # the 3 NaNs only kill a handful of points
+
+
 def test_sampler_window_masking():
     """Points far outside the band window must be masked, not mis-sampled."""
     slab = jnp.ones((C, H, W))
@@ -81,6 +118,11 @@ def test_tracker_pallas_backend_matches_gather():
     T_rel = se3_np.exp(xi)
     i0, z0 = scene.render(np.asarray(K_t), Wi, Hi, np.eye(4))
     i1, z1 = scene.render(np.asarray(K_t), Wi, Hi, se3_np.inverse(T_rel))
+    # Kinect-style NaN-invalid depth holes in BOTH frames (the pallas path
+    # must not let a single NaN poison a whole sampling band).
+    rng = np.random.default_rng(3)
+    z0[rng.random(z0.shape) < 0.03] = np.nan
+    z1[rng.random(z1.shape) < 0.03] = np.nan
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), 2)
     ref = pyramid.build_pyramid(jnp.asarray(i0), jnp.asarray(z0), 2)
     cur = pyramid.build_pyramid(jnp.asarray(i1), jnp.asarray(z1), 2)
