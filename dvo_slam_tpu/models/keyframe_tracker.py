@@ -17,9 +17,14 @@ finish), internally fusing:
   * KeyframeGraph (dvo_slam/src/keyframe_graph.cpp): keyframe vertices +
     odometry and validated loop-closure edges, optimized on device by
     models/pose_graph.py (the g2o replacement). The reference optimizes on
-    a background thread so tracking never blocks; JAX's async dispatch
-    gives the same overlap — the jitted optimize launches without blocking
-    the host, which immediately proceeds to the next frame's tracking.
+    a background thread so tracking never blocks; here the jitted optimize
+    is dispatched WITHOUT fetching its outputs — the optimized poses stay
+    on device and the host mirror is marked stale, refreshed lazily the
+    next time poses are actually read (next keyframe switch, loop-closure
+    search, trajectory(), finish()). Per-frame pose returns between
+    switches use the stale mirror (exactly the reference's semantics: its
+    background solve also doesn't retroactively move already-published
+    poses), so tracking of subsequent frames overlaps the solve.
 
 Host responsibilities (this file) are bookkeeping only: pose chains in
 f64 NumPy, keyframe records, edge lists. All dense math stays on device.
@@ -131,6 +136,11 @@ class KeyframeSlam:
         self._initialized = False
         self._force_next = False
 
+        # Async graph optimization: True while the device-side optimized
+        # poses have not been mirrored to kf_poses yet.
+        self._poses_stale = False
+        self._pose_fetches = 0  # observability / tests
+
     # ------------------------------------------------------------------
     # public API (reference KeyframeTracker)
     # ------------------------------------------------------------------
@@ -151,6 +161,7 @@ class KeyframeSlam:
         a fresh keyframe anchored at T0 (current estimate if None), with no
         odometry edge linking it to the previous keyframe.
         """
+        self._sync_poses()
         if T0 is not None:
             self._reset_pose = np.asarray(T0, np.float64)
         elif self.frames:
@@ -247,6 +258,9 @@ class KeyframeSlam:
             return self._world_pose(kf.idx, T_kf_cur)
 
         # --- keyframe switch: current frame becomes the new keyframe ---
+        # Consume the previous (asynchronously dispatched) graph solve now:
+        # the new keyframe anchors on the optimized parent pose.
+        self._sync_poses()
         if accept:
             Z_new = r_kf_T  # new-cam <- kf-cam
             info = np.asarray(informations[0], np.float64)
@@ -286,6 +300,7 @@ class KeyframeSlam:
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         """Current full trajectory: optimized keyframe poses composed with
         per-frame relative poses."""
+        self._sync_poses()
         return [
             (f.timestamp, self._world_pose(f.keyframe_idx, f.T_kf_frame))
             for f in self.frames
@@ -341,6 +356,7 @@ class KeyframeSlam:
         )
 
     def _search_loop_closures(self, new_kf: Keyframe):
+        self._sync_poses()
         positions = np.stack([T[:3, 3] for T in self.kf_poses])
         cand_idx = constraints.propose_candidates(positions, new_kf.idx, self.slam_cfg)
         if not cand_idx:
@@ -372,6 +388,13 @@ class KeyframeSlam:
         self.num_loop_edges += len(accepted)
 
     def _optimize(self, iterations: int):
+        """Dispatch the device LM solve WITHOUT fetching its outputs.
+
+        The reference runs g2o on a background thread (keyframe_graph.cpp);
+        here the jitted call is asynchronously dispatched and the host
+        returns immediately — the result is materialized lazily by
+        _sync_poses() at the next pose read.
+        """
         if len(self.keyframes) < 2 or int(self.graph.num_edges) == 0:
             return
         self.graph, chi2, _ = pose_graph.optimize(
@@ -384,9 +407,17 @@ class KeyframeSlam:
             # kernel tightens (see pose_graph.optimize docstring).
             gnc_init=16.0,
         )
+        self._poses_stale = True
+
+    def _sync_poses(self):
+        """Blocking fetch of the device-optimized poses into kf_poses."""
+        if not self._poses_stale:
+            return
         poses = np.asarray(self.graph.poses, np.float64)
         for k in range(len(self.kf_poses)):
             self.kf_poses[k] = _renormalize(poses[k])
+        self._poses_stale = False
+        self._pose_fetches += 1
 
     def _prune_outlier_edges(self):
         """Drop loop edges whose robust weight collapsed (reference

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_slam(path: str, slam) -> None:
@@ -21,9 +21,15 @@ def save_slam(path: str, slam) -> None:
     from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
 
     assert isinstance(slam, KeyframeSlam)
+    slam._sync_poses()  # materialize any in-flight async graph solve
     num_levels = slam.tracker_cfg.num_levels
     data = {
         "version": np.asarray(_FORMAT_VERSION),
+        "num_levels": np.asarray(num_levels),
+        "first_level": np.asarray(slam.tracker_cfg.first_level),
+        "last_level": np.asarray(slam.tracker_cfg.last_level),
+        "last_odo": np.asarray(slam._last_odo),
+        "force_next": np.asarray(slam._force_next),
         "num_keyframes": np.asarray(len(slam.keyframes)),
         "num_loop_edges": np.asarray(slam.num_loop_edges),
         "kf_poses": np.stack(slam.kf_poses) if slam.kf_poses else np.zeros((0, 4, 4)),
@@ -72,6 +78,15 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
     assert int(z["version"]) == _FORMAT_VERSION, "checkpoint format mismatch"
     tracker_cfg = tracker_cfg or TrackerConfig()
     slam_cfg = slam_cfg or SlamConfig()
+    for field in ("num_levels", "first_level", "last_level"):
+        stored = int(z[field])
+        passed = getattr(tracker_cfg, field)
+        if stored != passed:
+            raise ValueError(
+                f"checkpoint was written with tracker_cfg.{field}={stored} "
+                f"but loading with {field}={passed}; pass a matching "
+                "TrackerConfig"
+            )
     slam = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure)
     slam.init(z["kf_poses"][0] if len(z["kf_poses"]) else None)
 
@@ -118,5 +133,7 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
             jnp.asarray(z[f"prev_pyr_{lvl}"]) for lvl in range(num_levels)
         )
     slam._T_kf_prev = np.asarray(z["T_kf_prev"], np.float64)
+    slam._last_odo = np.asarray(z["last_odo"], np.float64)
+    slam._force_next = bool(z["force_next"])
     slam._initialized = bool(z["initialized"])
     return slam

@@ -146,6 +146,34 @@ def test_reset_restarts_tracking():
     np.testing.assert_allclose(traj[0.1], anchor, atol=1e-9)
 
 
+def test_graph_optimization_is_deferred():
+    """The jitted graph solve must be dispatched asynchronously: the host
+    mirror is only refreshed when poses are actually READ (keyframe switch,
+    loop-closure search, trajectory) — never by per-frame tracking
+    (reference keyframe_graph.cpp background-thread semantics)."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(10, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i in range(5):
+        if i == 4:
+            slam.force_keyframe()  # second keyframe -> first graph solve
+        slam.update(frames[i][0], frames[i][1], i / 30.0)
+    assert slam._poses_stale, "keyframe switch should leave the solve in flight"
+    fetches = slam._pose_fetches
+    # Plain tracking frames must not consume (fetch) the solve.
+    for i in range(5, 8):
+        slam.update(frames[i][0], frames[i][1], i / 30.0)
+    assert slam._poses_stale and slam._pose_fetches == fetches, (
+        "per-frame tracking forced a blocking pose fetch"
+    )
+    # Reading the trajectory materializes it exactly once.
+    traj = slam.trajectory()
+    assert not slam._poses_stale and slam._pose_fetches == fetches + 1
+    assert all(np.isfinite(T).all() for _, T in traj)
+
+
 def test_garbage_frame_recovery():
     """A corrupted frame mid-sequence must not kill the pipeline (reference
     NaN-voter / forced-keyframe fallback semantics)."""
