@@ -171,6 +171,17 @@ class SlamConfig:
     # keyframe + odometry measurements, dvo_slam/src/local_map.cpp).
     fuse_odometry: bool = True
 
+    # --- windowed local-map optimization (reference LocalMap::optimize) ---
+    # On keyframe switch (and at finish for the trailing window), jointly
+    # refine all frame poses of the closing window with a mini pose-graph:
+    # keyframe vertex + per-frame vertices, kf->frame and frame->frame
+    # edges weighted by tracker information (models/local_map.py).
+    local_map_optimize: bool = True
+    local_map_iterations: int = 10
+    # Padded vertex capacity of the mini-graph (one compile per run);
+    # frames beyond it keep their closed-form fused estimates.
+    local_map_capacity: int = 64
+
     # --- pose graph optimization (g2o replacement) ---
     optimization_iterations: int = 20
     final_optimization_iterations: int = 100
@@ -191,6 +202,9 @@ class SlamConfig:
     # tracks the normal range.
     coarse_first_level: int = 3
     coarse_last_level: int = 3
+    # Iteration cap for the coarse validation tracker (reference validator
+    # runs a dedicated DenseTracker::Config at the coarse stage).
+    coarse_max_iterations: int = 25
 
 
 DEFAULT_TRACKER = TrackerConfig()

@@ -42,7 +42,7 @@ import numpy as np
 import functools
 
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
-from dvo_slam_tpu.models import constraints, dense_tracker, pose_graph
+from dvo_slam_tpu.models import constraints, dense_tracker, local_map, pose_graph
 from dvo_slam_tpu.ops import camera, pyramid
 from dvo_slam_tpu.utils import se3_np
 
@@ -118,7 +118,7 @@ class KeyframeSlam:
             tracker_cfg,
             first_level=min(slam_cfg.coarse_first_level, tracker_cfg.num_levels - 1),
             last_level=min(slam_cfg.coarse_last_level, tracker_cfg.num_levels - 1),
-            max_iterations=25,
+            max_iterations=slam_cfg.coarse_max_iterations,
         )
         self.fine_cfg = tracker_cfg
 
@@ -140,6 +140,9 @@ class KeyframeSlam:
         # poses have not been mirrored to kf_poses yet.
         self._poses_stale = False
         self._pose_fetches = 0  # observability / tests
+
+        # Windowed local map for the active keyframe (reference LocalMap).
+        self._local_map = local_map.LocalMap(slam_cfg.local_map_capacity)
 
     # ------------------------------------------------------------------
     # public API (reference KeyframeTracker)
@@ -182,6 +185,7 @@ class KeyframeSlam:
             self._add_keyframe(pyr, timestamp, self._T0, None, None)
             self._prev_pyr = pyr
             self._T_kf_prev = np.eye(4)
+            self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
             self._initialized = True
             # NOT index 0: after reset() this is a fresh anchor keyframe.
             self.frames.append(
@@ -255,6 +259,14 @@ class KeyframeSlam:
             self._T_kf_prev = T_kf_cur
             self._prev_pyr = pyr
             self.frames.append(FrameRecord(timestamp, kf.idx, T_kf_cur.copy()))
+            if self.slam_cfg.local_map_optimize:
+                self._local_map.add_frame(
+                    len(self.frames) - 1,
+                    T_kf_cur,
+                    (r_kf_T, np.asarray(informations[0], np.float64)),
+                    None if odo_nan
+                    else (r_odo_T, np.asarray(informations[1], np.float64)),
+                )
             return self._world_pose(kf.idx, T_kf_cur)
 
         # --- keyframe switch: current frame becomes the new keyframe ---
@@ -275,6 +287,30 @@ class KeyframeSlam:
             Z_new = self._T_kf_prev
             info = np.eye(6) * 1e2
 
+        # --- LocalMap::optimize: jointly refine the closing window ---
+        # The switching frame joins as the final vertex (its refined pose
+        # becomes the odometry-edge measurement anchoring the new
+        # keyframe); intermediate frame records are rewritten in place.
+        if self.slam_cfg.local_map_optimize:
+            before = len(self._local_map)
+            self._local_map.add_frame(
+                -1,  # sentinel: no frame record — this IS the new keyframe
+                Z_new,
+                (r_kf_T, np.asarray(informations[0], np.float64))
+                if accept else None,
+                None if odo_nan
+                else (r_odo_T, np.asarray(informations[1], np.float64)),
+            )
+            if len(self._local_map) >= 2:
+                refined = self._local_map.optimize(
+                    self.slam_cfg.local_map_iterations
+                )
+                for fi, T in zip(self._local_map.frame_indices, refined):
+                    if fi >= 0:
+                        self.frames[fi].T_kf_frame = T
+                if len(self._local_map) == before + 1:  # switch frame added
+                    Z_new = refined[-1]
+
         T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
         self._add_keyframe(pyr, timestamp, T_w_new, kf.idx, (Z_new, info))
         new_kf = self.keyframes[-1]
@@ -285,6 +321,7 @@ class KeyframeSlam:
 
         self._prev_pyr = pyr
         self._T_kf_prev = np.eye(4)
+        self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         self.frames.append(FrameRecord(timestamp, new_kf.idx, np.eye(4)))
         return self._world_pose(new_kf.idx, np.eye(4))
 
@@ -292,6 +329,14 @@ class KeyframeSlam:
         """Final optimization + full-trajectory interpolation (reference
         KeyframeGraph::finalOptimization + pose composition, SURVEY.md §3.4).
         """
+        # Flush the trailing (never-switched) window through the local-map
+        # solve so its frame records are refined too.
+        if self.slam_cfg.local_map_optimize and len(self._local_map) >= 2:
+            refined = self._local_map.optimize(self.slam_cfg.local_map_iterations)
+            for fi, T in zip(self._local_map.frame_indices, refined):
+                if fi >= 0:
+                    self.frames[fi].T_kf_frame = T
+            self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         if self.slam_cfg.remove_outliers and self.num_loop_edges > 0:
             self._prune_outlier_edges()
         self._optimize(self.slam_cfg.final_optimization_iterations)

@@ -1,0 +1,156 @@
+"""Windowed local-map optimization for the active keyframe.
+
+TPU-native equivalent of the reference's LocalMap
+(dvo_slam/src/local_map.cpp; SURVEY.md S5): a small pose graph over the
+active keyframe's window — the keyframe vertex (fixed) plus one vertex per
+tracked frame, connected by keyframe->frame edges weighted with the dense
+tracker's information matrices and frame->frame odometry edges. The
+reference solves this mini-graph with g2o; here the window is solved by the
+same padded device Levenberg-Marquardt used for the global graph
+(models/pose_graph.py) — one compile for the whole run because the window
+is padded to a fixed capacity.
+
+Division of labour with the orchestrator (models/keyframe_tracker.py):
+per-frame the current pose uses the cheap closed-form information fusion
+(fuse_relative_poses — a single Gauss-Newton step, exact for two estimates
+of the same pose); the joint window solve runs on keyframe switch (and at
+finish() for the trailing window), refining ALL intermediate frame poses
+with information flowing both ways along the window before the relative
+poses are handed to the global graph.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dvo_slam_tpu.models import pose_graph
+from dvo_slam_tpu.utils import se3_np
+
+Measurement = Tuple[np.ndarray, np.ndarray]  # ((4,4) transform, (6,6) info)
+
+
+class LocalMap:
+    """Measurement window for one active keyframe.
+
+    Frame poses live in the keyframe's camera frame: vertex i+1 estimates
+    T_w_frame = inv(T_kf_frame) with world == keyframe camera (vertex 0,
+    gauge-fixed at identity by the solver's prior on vertex 0).
+    """
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self.frame_indices: List[int] = []  # orchestrator frame-record ids
+        self.estimates: List[np.ndarray] = []  # fused T_kf_frame (4,4) f64
+        self.kf_meas: List[Optional[Measurement]] = []  # kf -> frame
+        self.odo_meas: List[Optional[Measurement]] = []  # prev -> frame
+
+    def __len__(self) -> int:
+        return len(self.frame_indices)
+
+    @property
+    def full(self) -> bool:
+        # +1: the keyframe occupies vertex 0 of the padded graph.
+        return len(self.frame_indices) + 1 >= self.capacity
+
+    def add_frame(
+        self,
+        frame_index: int,
+        T_kf_frame: np.ndarray,
+        kf_meas: Optional[Measurement],
+        odo_meas: Optional[Measurement],
+    ) -> None:
+        """Record one tracked frame (reference LocalMap::addFrame +
+        addKeyframeMeasurement + addOdometryMeasurement).
+
+        Frames beyond capacity keep their closed-form fused estimates and
+        are excluded from the joint solve (the entropy-ratio keyframe
+        cadence keeps windows far below any sane capacity).
+        """
+        if self.full:
+            return
+        self.frame_indices.append(frame_index)
+        self.estimates.append(np.asarray(T_kf_frame, np.float64))
+        self.kf_meas.append(kf_meas)
+        self.odo_meas.append(odo_meas)
+
+    def optimize(self, iterations: int = 10) -> List[np.ndarray]:
+        """Jointly refine the window (reference LocalMap::optimize).
+
+        Returns refined T_kf_frame (frame-cam <- kf-cam) for every recorded
+        frame, in insertion order. Falls back to the fused estimates when
+        the window is trivial (a single frame's fusion is already the
+        exact two-measurement solution).
+        """
+        n = len(self.frame_indices)
+        if n < 2:
+            return list(self.estimates)
+
+        graph = pose_graph.empty_graph(self.capacity, 2 * self.capacity)
+        poses = np.tile(np.eye(4, dtype=np.float32), (self.capacity, 1, 1))
+        for i, est in enumerate(self.estimates):
+            poses[i + 1] = se3_np.inverse(est).astype(np.float32)
+
+        ei, ej, Z, info = [], [], [], []
+        for i in range(n):
+            if self.kf_meas[i] is not None:
+                T, L = self.kf_meas[i]
+                ei.append(0)
+                ej.append(i + 1)
+                Z.append(se3_np.inverse(np.asarray(T, np.float64)))
+                info.append(np.asarray(L, np.float64))
+            if self.odo_meas[i] is not None:
+                T, L = self.odo_meas[i]
+                ei.append(i)  # vertex 0 == keyframe is the first "previous"
+                ej.append(i + 1)
+                Z.append(se3_np.inverse(np.asarray(T, np.float64)))
+                info.append(np.asarray(L, np.float64))
+        if not ei:
+            return list(self.estimates)
+
+        E = len(ei)
+        cap_e = 2 * self.capacity
+        graph = graph._replace(
+            poses=jnp.asarray(poses),
+            num_vertices=jnp.asarray(n + 1, jnp.int32),
+            edge_i=graph.edge_i.at[:E].set(jnp.asarray(ei, jnp.int32)),
+            edge_j=graph.edge_j.at[:E].set(jnp.asarray(ej, jnp.int32)),
+            measurements=graph.measurements.at[:E].set(
+                jnp.asarray(np.stack(Z), jnp.float32)
+            ),
+            information=graph.information.at[:E].set(
+                jnp.asarray(np.stack(info), jnp.float32)
+            ),
+            edge_mask=graph.edge_mask.at[:E].set(True),
+            num_edges=jnp.asarray(E, jnp.int32),
+        )
+        assert E <= cap_e
+        # Plain (non-robust) LM: window measurements already passed the
+        # tracker's acceptance criteria; the reference's local g2o solve
+        # runs without a robust kernel too.
+        solved, _, _ = pose_graph.optimize(
+            graph, iterations=iterations, use_robust=False
+        )
+        refined = np.asarray(solved.poses, np.float64)
+        out = []
+        for i in range(n):
+            T_w_frame = refined[i + 1]
+            if not np.isfinite(T_w_frame).all():
+                out.append(self.estimates[i])
+                continue
+            out.append(se3_np.inverse(_orthonormalize(T_w_frame)))
+        return out
+
+
+def _orthonormalize(T: np.ndarray) -> np.ndarray:
+    """Project the rotation block back onto SO(3) (f32 solver drift)."""
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    out = np.eye(4)
+    out[:3, :3] = R
+    out[:3, 3] = T[:3, 3]
+    return out

@@ -49,6 +49,23 @@ def save_slam(path: str, slam) -> None:
         "T_kf_prev": np.asarray(slam._T_kf_prev),
         "initialized": np.asarray(slam._initialized),
     }
+    # Active local-map window (resume-equivalence requires the pending
+    # measurements so the next keyframe switch refines the same window).
+    lm = slam._local_map
+    n_lm = len(lm)
+    eye4, eye6 = np.eye(4), np.eye(6)
+    data["lm_frame_indices"] = np.asarray(lm.frame_indices, np.int64).reshape(n_lm)
+    data["lm_estimates"] = (
+        np.stack(lm.estimates) if n_lm else np.zeros((0, 4, 4))
+    )
+    for name, meas in (("kf", lm.kf_meas), ("odo", lm.odo_meas)):
+        data[f"lm_{name}_valid"] = np.asarray([m is not None for m in meas], bool)
+        data[f"lm_{name}_T"] = np.stack(
+            [eye4 if m is None else m[0] for m in meas]
+        ) if n_lm else np.zeros((0, 4, 4))
+        data[f"lm_{name}_info"] = np.stack(
+            [eye6 if m is None else m[1] for m in meas]
+        ) if n_lm else np.zeros((0, 6, 6))
     # Pose graph (device pytree -> host arrays).
     for name in ["poses", "num_vertices", "edge_i", "edge_j", "measurements",
                  "information", "edge_mask", "num_edges"]:
@@ -131,6 +148,17 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
     if f"prev_pyr_0" in z:
         slam._prev_pyr = tuple(
             jnp.asarray(z[f"prev_pyr_{lvl}"]) for lvl in range(num_levels)
+        )
+    for i in range(len(z["lm_frame_indices"])):
+        slam._local_map.add_frame(
+            int(z["lm_frame_indices"][i]),
+            np.asarray(z["lm_estimates"][i], np.float64),
+            (np.asarray(z["lm_kf_T"][i], np.float64),
+             np.asarray(z["lm_kf_info"][i], np.float64))
+            if bool(z["lm_kf_valid"][i]) else None,
+            (np.asarray(z["lm_odo_T"][i], np.float64),
+             np.asarray(z["lm_odo_info"][i], np.float64))
+            if bool(z["lm_odo_valid"][i]) else None,
         )
     slam._T_kf_prev = np.asarray(z["T_kf_prev"], np.float64)
     slam._last_odo = np.asarray(z["last_odo"], np.float64)
