@@ -73,12 +73,16 @@ def _pad_batch(pyrs, T_inits, batch):
 
 
 def _entropy_ratio(entropy, denominator):
-    """Signed entropy ratio (SURVEY.md §4.5). Entropies here are negative
-    (high information); quality degradation moves H toward zero, shrinking
-    the ratio."""
-    if denominator is None or denominator == 0.0 or not np.isfinite(denominator):
-        return 1.0
-    return float(entropy) / float(denominator)
+    """Sign-safe entropy ratio (SURVEY.md §4.5; dense_tracker.entropy_ratio).
+
+    A keyframe with no usable tracking history (None / non-finite
+    denominator) CANNOT vouch for the candidate's quality — the voter
+    rejects conservatively instead of auto-passing (a silently-passed
+    false loop closure corrupts the whole graph; a missed true one only
+    costs a little drift)."""
+    if denominator is None:
+        return -np.inf
+    return dense_tracker.entropy_ratio(entropy, denominator)
 
 
 def validate_candidates(

@@ -38,6 +38,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dvo_slam_tpu.config import TrackerConfig
 from dvo_slam_tpu.ops import least_squares, linearize as lin_ops, se3
@@ -75,6 +76,31 @@ def pose_entropy(information):
     _, logdet = jnp.linalg.slogdet(information)
     two_pi_e = 2.0 * jnp.pi * jnp.e
     return 0.5 * (6.0 * jnp.log(two_pi_e) - logdet)
+
+
+# Floor on the |reference entropy| denominator of entropy_ratio (nats).
+_ENTROPY_DENOM_FLOOR = 1.0
+
+
+def entropy_ratio(h_cur: float, h_ref: float) -> float:
+    """Sign-safe entropy ratio for keyframe selection / constraint voting
+    (reference TrackingResultEvaluation::ratioWithFirst,
+    dvo_slam/src/tracking_result_evaluation.cpp; IROS13 §IV).
+
+    In the real-image regime the pose information is large, H is well
+    below zero, and this equals the paper's raw quotient h_cur / h_ref
+    exactly. The raw quotient, however, INVERTS its meaning when
+    entropies cross zero (H is a log-determinant — its sign depends on
+    image scale and valid-pixel count): degradation then GROWS the
+    quotient and the keyframe criterion silently stops firing. This form
+    keeps "degradation => smaller ratio" for either sign and floors the
+    denominator so near-zero reference entropies stay bounded.
+    """
+    h_cur = float(h_cur)
+    h_ref = float(h_ref)
+    if not (np.isfinite(h_cur) and np.isfinite(h_ref)):
+        return -np.inf  # conservative: treat unknown quality as degraded
+    return 1.0 - (h_cur - h_ref) / max(abs(h_ref), _ENTROPY_DENOM_FLOOR)
 
 
 def _psum(x, axis_name):

@@ -230,12 +230,13 @@ class KeyframeSlam:
         # --- acceptance criteria (reference LocalTracker signals) ---
         accept = (not kf_nan) and kf_valid_ratio >= self.slam_cfg.min_constraint_ratio
 
-        # --- entropy-ratio keyframe decision (ratioWithFirst) ---
-        if accept and kf.entropy_first is None:
+        # --- entropy-ratio keyframe decision (ratioWithFirst; sign-safe
+        # form, see dense_tracker.entropy_ratio) ---
+        if accept and kf.entropy_first is None and np.isfinite(kf_entropy):
             kf.entropy_first = kf_entropy
         ratio = 1.0
-        if accept and kf.entropy_first is not None and kf.entropy_first != 0.0:
-            ratio = kf_entropy / kf.entropy_first
+        if accept and kf.entropy_first is not None:
+            ratio = dense_tracker.entropy_ratio(kf_entropy, kf.entropy_first)
         switch = (
             self._force_next
             or not accept

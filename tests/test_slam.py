@@ -146,6 +146,33 @@ def test_reset_restarts_tracking():
     np.testing.assert_allclose(traj[0.1], anchor, atol=1e-9)
 
 
+def test_entropy_ratio_sign_safe():
+    """The ratio must read 'degradation => smaller' regardless of the sign
+    of H (H is a log-determinant; its sign flips with image scale), and a
+    missing/broken denominator must be conservative, not a free pass."""
+    from dvo_slam_tpu.models.dense_tracker import entropy_ratio
+
+    # Negative regime (real images): exact parity with the raw quotient.
+    assert entropy_ratio(-90.0, -100.0) == pytest.approx(-90.0 / -100.0)
+    assert entropy_ratio(-100.0, -100.0) == pytest.approx(1.0)
+    assert entropy_ratio(-110.0, -100.0) == pytest.approx(1.1)  # improved
+    # Positive regime (tiny images / few valid pixels): the raw quotient
+    # would INVERT (degradation grows it); the sign-safe form must not.
+    assert entropy_ratio(10.0, 5.0) < 0.9  # degraded -> below threshold
+    assert entropy_ratio(4.0, 5.0) > 1.0  # improved -> keeps keyframe
+    # Entropies crossing zero.
+    assert entropy_ratio(3.0, -2.0) < 0.9
+    # Near-zero denominator stays bounded (floored), degraded still fires.
+    assert entropy_ratio(1.0, 1e-9) == pytest.approx(0.0, abs=1e-6)
+    # Broken inputs are conservative.
+    assert entropy_ratio(np.nan, -100.0) == -np.inf
+    assert entropy_ratio(-90.0, np.nan) == -np.inf
+
+    from dvo_slam_tpu.models.constraints import _entropy_ratio
+
+    assert _entropy_ratio(-90.0, None) == -np.inf  # no history -> reject
+
+
 def test_graph_optimization_is_deferred():
     """The jitted graph solve must be dispatched asynchronously: the host
     mirror is only refreshed when poses are actually READ (keyframe switch,
