@@ -83,6 +83,14 @@ class TrackerConfig:
     intensity_grad_threshold: float = 0.0
     depth_grad_threshold: float = 0.0
 
+    # Collect fixed-shape per-iteration statistics (valid-constraint count,
+    # acceptance NLL, increment norm, accept flag, per-level termination
+    # reason) in TrackResult.stats — parity with the reference's
+    # IterationStats/LevelStats/Stats (dvo_core/include/dvo/
+    # dense_tracking.h). Negligible device cost; False drops the arrays
+    # from the result pytree entirely.
+    collect_stats: bool = True
+
     # Use the geometric (depth) residual in addition to the photometric one
     # — the bivariate path of ICRA13/IROS13. False = photometric-only
     # (BASELINE.json config #1).

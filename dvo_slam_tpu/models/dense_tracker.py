@@ -46,6 +46,27 @@ from dvo_slam_tpu.ops import least_squares, linearize as lin_ops, se3
 _INF = jnp.inf
 
 
+# Termination reasons, per level (reference IterationStats/LevelStats
+# termination criteria in dvo_core/include/dvo/dense_tracking.h).
+TERM_ITERATIONS = 0  # hit max_iterations
+TERM_INCREMENT = 1  # ||delta_xi|| < precision
+TERM_ERROR_INCREASED = 2  # GN rollback (reference Revertable revert+stop)
+TERM_TOO_FEW_CONSTRAINTS = 3  # < 6 valid constraints
+
+
+class TrackStats(NamedTuple):
+    """Fixed-shape per-iteration statistics (reference Stats/LevelStats/
+    IterationStats in dvo_core/include/dvo/dense_tracking.h). All arrays
+    are (num_tracked_levels, max_iterations), coarse level first; entries
+    at indices >= iterations[level] are zero (never executed)."""
+
+    valid: jnp.ndarray  # valid constraint count at each evaluation
+    error: jnp.ndarray  # acceptance NLL of each evaluation
+    delta_norm: jnp.ndarray  # ||delta_xi|| of each solved increment
+    accepted: jnp.ndarray  # bool: evaluation accepted (vs rolled back)
+    termination: jnp.ndarray  # (num_tracked_levels,) int32 TERM_* codes
+
+
 class TrackResult(NamedTuple):
     """Equivalent of DenseTracker::Result (dvo_core/include/dvo/dense_tracking.h)."""
 
@@ -59,6 +80,7 @@ class TrackResult(NamedTuple):
     valid_ratio: jnp.ndarray  # valid / selected at finest level
     iterations: jnp.ndarray  # (num_tracked_levels,) int32
     level_errors: jnp.ndarray  # (num_tracked_levels,)
+    stats: Optional[TrackStats] = None  # cfg.collect_stats
 
     def is_nan(self):
         """Reference Result::isNaN — NaN guard used by acceptance voters."""
@@ -172,7 +194,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             | (k >= cfg.max_iterations)
             | (n_valid_best < 6)
         )
-        return {
+        out = {
             "T_cur": T_next,
             "T_best": T_base,
             "err_best": err_best,
@@ -185,6 +207,27 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             "k": k,
             "done": done,
         }
+        if cfg.collect_stats:
+            i = carry["k"]
+            out["it_valid"] = carry["it_valid"].at[i].set(lin.n_raw)
+            out["it_error"] = carry["it_error"].at[i].set(lin.err_mean)
+            out["it_delta"] = carry["it_delta"].at[i].set(delta_norm)
+            out["it_accept"] = carry["it_accept"].at[i].set(accept)
+            # First matching reason wins (priority mirrors the checks above).
+            out["term"] = jnp.where(
+                rejected_stop,
+                TERM_ERROR_INCREASED,
+                jnp.where(
+                    n_valid_best < 6,
+                    TERM_TOO_FEW_CONSTRAINTS,
+                    jnp.where(
+                        delta_norm < cfg.precision,
+                        TERM_INCREMENT,
+                        TERM_ITERATIONS,
+                    ),
+                ),
+            ).astype(jnp.int32)
+        return out
 
     init = {
         "T_cur": T_init,
@@ -199,8 +242,19 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
         "k": jnp.asarray(0, jnp.int32),
         "done": jnp.asarray(False, bool),
     }
+    if cfg.collect_stats:
+        init["it_valid"] = jnp.zeros(cfg.max_iterations, dtype)
+        init["it_error"] = jnp.zeros(cfg.max_iterations, dtype)
+        init["it_delta"] = jnp.zeros(cfg.max_iterations, dtype)
+        init["it_accept"] = jnp.zeros(cfg.max_iterations, bool)
+        init["term"] = jnp.asarray(TERM_ITERATIONS, jnp.int32)
     out = jax.lax.while_loop(cond, body, init)
     stats = {"iterations": out["k"], "error": out["err_best"]}
+    if cfg.collect_stats:
+        stats["per_iter"] = (
+            out["it_valid"], out["it_error"], out["it_delta"],
+            out["it_accept"], out["term"],
+        )
     final = lin_ops.Linearization(
         A=out["A_best"], b=out["b_best"], err_mean=out["err_best"],
         n_valid=jnp.maximum(out["n_valid_best"], 1.0),
@@ -254,6 +308,7 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
             cmajors[lvl] = pallas_sampler.slab_to_cmajor(cur_pyr[lvl])
 
     fin = None
+    per_iter = []
     for lvl in levels:
         T, fin, stats = _track_level(
             level_data[lvl], cur_pyr[lvl], Ks[lvl], T, cfg,
@@ -261,6 +316,8 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
         )
         iters.append(stats["iterations"])
         errs.append(stats["error"])
+        if cfg.collect_stats:
+            per_iter.append(stats["per_iter"])
 
     # Information/LogLikelihood at convergence come from the finest
     # level's last ACCEPTED linearization (T_best is that pose, so its
@@ -273,6 +330,16 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
     information = fin.A
     entropy = pose_entropy(information)
 
+    track_stats = None
+    if cfg.collect_stats:
+        track_stats = TrackStats(
+            valid=jnp.stack([p[0] for p in per_iter]),
+            error=jnp.stack([p[1] for p in per_iter]),
+            delta_norm=jnp.stack([p[2] for p in per_iter]),
+            accepted=jnp.stack([p[3] for p in per_iter]),
+            termination=jnp.stack([p[4] for p in per_iter]),
+        )
+
     return TrackResult(
         transformation=T,
         information=information,
@@ -284,6 +351,7 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
         valid_ratio=fin.n_raw / jnp.maximum(n_selected, 1.0),
         iterations=jnp.stack(iters),
         level_errors=jnp.stack(errs),
+        stats=track_stats,
     )
 
 

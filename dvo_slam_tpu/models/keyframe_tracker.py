@@ -106,10 +106,15 @@ class KeyframeSlam:
         tracker_cfg: TrackerConfig = TrackerConfig(),
         slam_cfg: SlamConfig = SlamConfig(),
         enable_loop_closure: bool = True,
+        frame_logger=None,
     ):
+        """frame_logger: optional utils.stats.FrameLogger; when set, every
+        update() appends a structured record with the per-iteration
+        tracking statistics (reference per-frame Stats + ROS_INFO logs)."""
         self.tracker_cfg = tracker_cfg
         self.slam_cfg = slam_cfg
         self.enable_loop_closure = enable_loop_closure
+        self.frame_logger = frame_logger
         self.K = camera.intrinsics(*K) if not hasattr(K, "shape") else jnp.asarray(K)
         self.Ks = camera.pyramid_intrinsics(self.K, tracker_cfg.num_levels)
         # Loop-closure validation configs (coarse stage tracks only the
@@ -213,11 +218,13 @@ class KeyframeSlam:
         # ONE device->host transfer for everything this frame needs: each
         # separate scalar read pays a full dispatch round trip (hundreds of
         # ms over remoted devices), which would dwarf the tracking itself.
-        host = jax.device_get(
-            (res.transformation, res.is_nan(), res.entropy, res.valid_ratio,
-             res.information)
-        )
-        transforms, nans, entropies, valid_ratios, informations = host
+        fetch = (res.transformation, res.is_nan(), res.entropy,
+                 res.valid_ratio, res.information)
+        extra = ()
+        if self.frame_logger is not None and res.stats is not None:
+            extra = (res.iterations, res.stats)
+        host = jax.device_get(fetch + extra)
+        transforms, nans, entropies, valid_ratios, informations = host[:5]
         r_kf_T = np.asarray(transforms[0], np.float64)
         r_odo_T = np.asarray(transforms[1], np.float64)
         kf_nan = bool(nans[0])
@@ -243,6 +250,19 @@ class KeyframeSlam:
             or ratio < self.slam_cfg.min_entropy_ratio
         )
         self._force_next = False
+
+        if self.frame_logger is not None:
+            rec = dict(
+                t=timestamp, frame=len(self.frames), keyframe=kf.idx,
+                entropy=kf_entropy, entropy_ratio=ratio,
+                valid_ratio=kf_valid_ratio, accepted=accept,
+                keyframe_switch=bool(switch),
+            )
+            if extra:
+                iters_b, stats_b = host[5], host[6]
+                rec["kf_track"] = _stats_record(stats_b, iters_b, 0)
+                rec["odo_track"] = _stats_record(stats_b, iters_b, 1)
+            self.frame_logger.log(**rec)
 
         if not switch:
             kf.entropy_sum += kf_entropy
@@ -483,6 +503,23 @@ class KeyframeSlam:
             if mask[e] and not consecutive and w[e] < self.slam_cfg.outlier_weight_threshold:
                 mask[e] = False
         self.graph = self.graph._replace(edge_mask=jnp.asarray(mask))
+
+
+def _stats_record(stats, iterations, b):
+    """Per-level per-iteration stats of batch row b as plain JSON types
+    (reference IterationStats granularity), trimmed to executed iters."""
+    levels = []
+    for l in range(iterations.shape[1]):
+        n = int(iterations[b, l])
+        levels.append({
+            "iterations": n,
+            "termination": int(stats.termination[b, l]),
+            "valid": np.asarray(stats.valid[b, l][:n]).tolist(),
+            "error": np.asarray(stats.error[b, l][:n]).tolist(),
+            "delta_norm": np.asarray(stats.delta_norm[b, l][:n]).tolist(),
+            "accepted": np.asarray(stats.accepted[b, l][:n]).tolist(),
+        })
+    return levels
 
 
 def fuse_relative_poses(T_a, info_a, T_b, info_b):

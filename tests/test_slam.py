@@ -146,6 +146,36 @@ def test_reset_restarts_tracking():
     np.testing.assert_allclose(traj[0.1], anchor, atol=1e-9)
 
 
+def test_frame_logger_records_iteration_stats():
+    """The jsonl frame logger must carry per-iteration tracking statistics
+    (reference per-frame Stats + ROS_INFO observability)."""
+    from dvo_slam_tpu.utils.stats import FrameLogger
+
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(5, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    logger = FrameLogger()
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False,
+                        frame_logger=logger)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        slam.update(intensity, depth, i / 30.0)
+    assert len(logger.records) == len(frames) - 1  # first frame only inits
+    rec = logger.records[0]
+    for key in ("entropy", "entropy_ratio", "valid_ratio", "accepted",
+                "keyframe_switch", "kf_track", "odo_track"):
+        assert key in rec, key
+    lvl = rec["kf_track"][0]
+    n = lvl["iterations"]
+    assert n >= 1
+    assert len(lvl["valid"]) == n and len(lvl["error"]) == n
+    assert len(lvl["delta_norm"]) == n and len(lvl["accepted"]) == n
+    assert all(v > 0 for v in lvl["valid"])
+    import json
+
+    json.dumps(rec)  # records must be jsonl-serializable
+
+
 def test_entropy_ratio_sign_safe():
     """The ratio must read 'degradation => smaller' regardless of the sign
     of H (H is a log-determinant; its sign flips with image scale), and a

@@ -210,3 +210,47 @@ def test_batched_tracking_matches_single():
     )
     # Pair b must converge to its own ground truth.
     assert _pose_error(batched.transformation[1], T_rel_b) < 5e-3
+
+
+def test_per_iteration_stats():
+    """TrackResult.stats must carry the reference's IterationStats
+    granularity: per-iteration valid counts / error / increment norms /
+    accept flags and a per-level termination reason, consistent with the
+    reported iteration counts."""
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=20)
+    xi = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.005])
+    ref, cur, _ = _render_pair(xi)
+    res = _track(ref, cur, cfg)
+    s = res.stats
+    assert s is not None
+    L, I = len(cfg.tracked_levels), cfg.max_iterations
+    assert s.valid.shape == (L, I) and s.error.shape == (L, I)
+    assert s.delta_norm.shape == (L, I) and s.accepted.shape == (L, I)
+    assert s.termination.shape == (L,)
+    iters = np.asarray(res.iterations)
+    for l in range(L):
+        n = int(iters[l])
+        assert 1 <= n <= cfg.max_iterations
+        # Executed iterations have real entries; the tail stays zero.
+        assert (np.asarray(s.valid[l][:n]) > 0).all()
+        assert (np.asarray(s.valid[l][n:]) == 0).all()
+        assert np.asarray(s.accepted[l][:n]).any()
+        term = int(s.termination[l])
+        assert term in (dense_tracker.TERM_ITERATIONS,
+                        dense_tracker.TERM_INCREMENT,
+                        dense_tracker.TERM_ERROR_INCREASED,
+                        dense_tracker.TERM_TOO_FEW_CONSTRAINTS)
+        if n < cfg.max_iterations:
+            assert term != dense_tracker.TERM_ITERATIONS
+    # Easy pair converges by increment or rollback, not by iteration cap.
+    assert int(s.termination[-1]) in (dense_tracker.TERM_INCREMENT,
+                                      dense_tracker.TERM_ERROR_INCREASED)
+
+
+def test_stats_disabled():
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        collect_stats=False)
+    ref, cur, _ = _render_pair(np.zeros(6))
+    res = _track(ref, cur, cfg)
+    assert res.stats is None
