@@ -48,49 +48,91 @@ def run_sequence(
     mode: str = "slam",
     trajectory_out: Optional[str] = None,
     warmup: int = 1,
+    covariance_out: Optional[str] = None,
 ) -> BenchmarkResult:
     """Run SLAM/odometry over an iterable of (timestamp, intensity, depth).
 
     mode: "slam" (keyframes + graph + loop closure), "keyframe" (no loop
-    closure), "odometry" (frame-to-frame only, reference camera_tracker
-    node semantics).
-    """
-    slam = KeyframeSlam(
-        K,
-        tracker_cfg,
-        slam_cfg,
-        enable_loop_closure=(mode == "slam"),
-    )
-    # mode == "odometry": frame-to-frame tracking is realized by forcing a
-    # keyframe switch every frame in the loop below (reference
-    # camera_tracker semantics).
+    closure), "odometry" (frame-to-frame only — the reference
+    camera_tracker node; no keyframe store, no pose graph, unbounded
+    sequence length).
 
+    groundtruth: optional per-frame list aligned with the sequence; entries
+    may be None for frames without a groundtruth match (mocap dropouts) —
+    those frames are EXCLUDED from ATE/RPE, as the TUM evaluation tools do.
+
+    covariance_out: odometry mode only — write per-frame 6x6 pose
+    covariances (Information^{-1}; the reference publishes these as
+    PoseWithCovarianceStamped) as 'timestamp v00 .. v55' lines.
+    """
     frames = list(frame_iter)
     if not frames:
         raise ValueError("empty sequence")
 
     t0_pose = None
-    if groundtruth is not None:
+    if groundtruth is not None and groundtruth[0] is not None:
         t0_pose = groundtruth[0]
-    slam.init(t0_pose)
 
-    # Warmup on the first frame pair to amortize compile out of the fps
-    # number (the reference amortizes nothing, but its first frame costs
-    # microseconds, not an XLA compile).
-    if warmup and len(frames) >= 2:
-        warm = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure=False)
-        warm.init()
-        for ts, intensity, depth in frames[:2]:
-            warm.update(intensity, depth, ts)
+    if mode == "odometry":
+        from dvo_slam_tpu.models.odometry import OdometryTracker
 
-    start = time.perf_counter()
-    for i, (ts, intensity, depth) in enumerate(frames):
-        if mode == "odometry" and i > 0:
-            slam.force_keyframe()
-        slam.update(intensity, depth, ts)
-    elapsed = time.perf_counter() - start
+        odo = OdometryTracker(K, tracker_cfg,
+                              collect_covariance=covariance_out is not None)
+        odo.init(t0_pose)
+        if warmup and len(frames) >= 2:
+            warm = OdometryTracker(K, tracker_cfg)
+            for ts, intensity, depth in frames[:2]:
+                warm.update(intensity, depth, ts)
+        start = time.perf_counter()
+        for ts, intensity, depth in frames:
+            odo.update(intensity, depth, ts)
+        elapsed = time.perf_counter() - start
+        traj = odo.trajectory
+        num_keyframes = 0
+        num_loop_edges = 0
+        if covariance_out:
+            with open(covariance_out, "w") as fh:
+                for ts, cov in odo.covariances:
+                    vals = " ".join(f"{v:.9e}" for v in cov.reshape(-1))
+                    fh.write(f"{ts:.6f} {vals}\n")
+    else:
+        slam = KeyframeSlam(
+            K, tracker_cfg, slam_cfg, enable_loop_closure=(mode == "slam")
+        )
+        slam.init(t0_pose)
+        # Warm EVERY compile unit the timed loop can hit — dual tracking,
+        # the local-map and pose-graph solves (keyframe switch), the
+        # coarse+fine loop-closure validators, and the final optimization
+        # (the reference amortizes nothing, but its first frame costs
+        # microseconds, not an XLA compile).
+        if warmup and len(frames) >= 2:
+            warm_cfg = dataclasses.replace(
+                slam_cfg,
+                min_constraint_distance=1,
+                new_constraint_search_radius=1e9,
+                min_entropy_ratio_coarse=-1e9,
+                min_entropy_ratio_fine=-1e9,
+                cross_validation_threshold=1e9,
+            )  # relaxations are host-side only: compile keys unchanged
+            warm = KeyframeSlam(K, tracker_cfg, warm_cfg,
+                                enable_loop_closure=(mode == "slam"))
+            warm.init()
+            (_, i0, d0), (_, i1, d1) = frames[0], frames[1]
+            warm.update(i0, d0, 0.0)
+            warm.update(i1, d1, 1 / 30.0)
+            warm.force_keyframe()
+            warm.update(i0, d0, 2 / 30.0)  # switch: local map + graph solve
+            warm.force_keyframe()
+            warm.update(i1, d1, 3 / 30.0)  # 3rd keyframe: validation batch
+            warm.finish()  # final-optimization variant
+        start = time.perf_counter()
+        for ts, intensity, depth in frames:
+            slam.update(intensity, depth, ts)
+        elapsed = time.perf_counter() - start
+        traj = slam.finish()
+        num_keyframes = len(slam.keyframes)
+        num_loop_edges = slam.num_loop_edges
 
-    traj = slam.finish()
     timestamps = [t for t, _ in traj]
     est = [T for _, T in traj]
     if trajectory_out:
@@ -98,8 +140,12 @@ def run_sequence(
 
     ate = rpe_t = rpe_r = None
     if groundtruth is not None:
-        ate = evaluate.ate_rmse(est, groundtruth)
-        rpe_t, rpe_r = evaluate.rpe(est, groundtruth)
+        pairs = [(e, g) for e, g in zip(est, groundtruth) if g is not None]
+        if len(pairs) >= 2:
+            est_m = [p[0] for p in pairs]
+            gt_m = [p[1] for p in pairs]
+            ate = evaluate.ate_rmse(est_m, gt_m)
+            rpe_t, rpe_r = evaluate.rpe(est_m, gt_m)
 
     return BenchmarkResult(
         num_frames=len(frames),
@@ -108,8 +154,8 @@ def run_sequence(
         ate_rmse_m=ate,
         rpe_trans_m=rpe_t,
         rpe_rot_rad=rpe_r,
-        num_keyframes=len(slam.keyframes),
-        num_loop_edges=slam.num_loop_edges,
+        num_keyframes=num_keyframes,
+        num_loop_edges=num_loop_edges,
     )
 
 
@@ -121,6 +167,7 @@ def run_tum_dataset(
     trajectory_out: Optional[str] = None,
     max_frames: Optional[int] = None,
     intrinsics=None,
+    covariance_out: Optional[str] = None,
 ) -> BenchmarkResult:
     """Benchmark a TUM RGB-D directory (reference benchmark_slam main)."""
     from dvo_slam_tpu.ops import camera
@@ -136,15 +183,16 @@ def run_tum_dataset(
 
     gt = None
     if ds.groundtruth is not None:
-        gt = []
+        # Frames without a close groundtruth match stay None and are
+        # excluded from ATE/RPE (the TUM evaluate_ate/evaluate_rpe
+        # behaviour) instead of polluting the alignment with identities.
         n = len(ds) if max_frames is None else min(max_frames, len(ds))
-        for i in range(n):
-            pose = ds.groundtruth_pose(ds.timestamp(i))
-            gt.append(pose if pose is not None else np.eye(4))
+        gt = [ds.groundtruth_pose(ds.timestamp(i)) for i in range(n)]
 
     return run_sequence(
         frame_iter(), K, tracker_cfg, slam_cfg,
         groundtruth=gt, mode=mode, trajectory_out=trajectory_out,
+        covariance_out=covariance_out,
     )
 
 

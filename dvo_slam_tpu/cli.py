@@ -87,6 +87,12 @@ def main(argv=None):
         p.add_argument("--max-frames", type=int, default=None)
         p.add_argument("--fr", type=int, default=1, choices=[1, 2, 3],
                        help="TUM freiburg calibration set")
+        if mode == "odometry":
+            p.add_argument(
+                "--covariance-out", default=None,
+                help="write per-frame 6x6 pose covariances "
+                     "(Information^{-1}; reference PoseWithCovarianceStamped)",
+            )
         p.set_defaults(mode=mode)
         _add_tracker_args(p)
         _add_slam_args(p)
@@ -144,6 +150,7 @@ def main(argv=None):
             args.dataset, tracker_cfg, slam_cfg, mode=args.mode,
             trajectory_out=args.trajectory_out, max_frames=args.max_frames,
             intrinsics=K,
+            covariance_out=getattr(args, "covariance_out", None),
         )
     print(res.to_json())
     return 0

@@ -21,10 +21,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dvo_slam_tpu.config import TrackerConfig
 from dvo_slam_tpu.models import dense_tracker
 from dvo_slam_tpu.ops import camera, pyramid
+from dvo_slam_tpu.utils import se3_np
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -67,6 +69,86 @@ def track_sequence(intensities, depths, K, cfg: TrackerConfig):
         "iterations": iterations,
         "is_nan": nan,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _odometry_step(intensity, depth, prev_pyr, T0, Ks, cfg: TrackerConfig):
+    """One fused odometry frame: pyramid build + frame-to-frame track."""
+    cur = pyramid.build_pyramid(intensity, depth, cfg.num_levels)
+    res = dense_tracker.track(prev_pyr, cur, Ks, T0, cfg)
+    return cur, res
+
+
+class OdometryTracker:
+    """Host-driven frame-to-frame visual odometry — the reference's
+    camera_tracker node (dvo_ros/src/camera_dense_tracking.cpp, SURVEY.md
+    §3.5 / R2): no keyframes, no pose graph; every frame aligns against
+    the previous frame, the world pose is chained on host in f64, and the
+    per-frame 6x6 covariance (Information^{-1} — what the reference
+    publishes as PoseWithCovarianceStamped) is exposed.
+
+    For offline throughput over a pre-loaded sequence prefer
+    track_sequence (the whole loop in one device dispatch); this class is
+    the streaming form with per-frame host access to poses/covariances.
+    """
+
+    def __init__(self, K, cfg: TrackerConfig = TrackerConfig(),
+                 collect_covariance: bool = False):
+        self.cfg = cfg
+        self.K = camera.intrinsics(*K) if not hasattr(K, "shape") else jnp.asarray(K)
+        self.Ks = camera.pyramid_intrinsics(self.K, cfg.num_levels)
+        self.collect_covariance = collect_covariance
+        self.trajectory = []  # (timestamp, T_w_frame f64)
+        self.covariances = []  # (timestamp, (6,6) f64) when collected
+        self._prev_pyr = None
+        self._T_w = np.eye(4)
+        self._last_rel = np.eye(4)
+
+    def init(self, T0=None):
+        self._T_w = np.eye(4) if T0 is None else np.asarray(T0, np.float64)
+
+    def update(self, intensity, depth, timestamp: float) -> np.ndarray:
+        """Track one frame; returns the current world pose (4, 4) f64."""
+        intensity = jnp.asarray(intensity, jnp.float32)
+        depth = jnp.asarray(depth, jnp.float32)
+        if self._prev_pyr is None:
+            self._prev_pyr = pyramid.build_pyramid(
+                intensity, depth, self.cfg.num_levels
+            )
+            self.trajectory.append((timestamp, self._T_w.copy()))
+            if self.collect_covariance:
+                self.covariances.append((timestamp, np.zeros((6, 6))))
+            return self._T_w.copy()
+
+        T0 = (jnp.asarray(self._last_rel, jnp.float32)
+              if self.cfg.use_initial_estimate else jnp.eye(4))
+        cur, res = _odometry_step(
+            intensity, depth, self._prev_pyr, T0, self.Ks, self.cfg
+        )
+        fetch = (res.transformation, res.is_nan())
+        if self.collect_covariance:
+            fetch = fetch + (res.information,)
+        host = jax.device_get(fetch)
+        rel = np.asarray(host[0], np.float64)
+        if bool(host[1]):
+            # NaN guard (reference keeps publishing on tracking failure):
+            # fall back to the constant-velocity increment.
+            rel = self._last_rel.copy()
+        else:
+            self._last_rel = rel
+        self._T_w = self._T_w @ se3_np.inverse(rel)
+        self._prev_pyr = cur
+        self.trajectory.append((timestamp, self._T_w.copy()))
+        if self.collect_covariance:
+            info = np.asarray(host[2], np.float64) if not bool(host[1]) else None
+            cov = np.full((6, 6), np.nan)
+            if info is not None and np.isfinite(info).all():
+                try:
+                    cov = np.linalg.inv(info)
+                except np.linalg.LinAlgError:
+                    pass
+            self.covariances.append((timestamp, cov))
+        return self._T_w.copy()
 
 
 def compose_trajectory(rel_poses, T0=None):

@@ -72,15 +72,71 @@ def test_benchmark_synthetic_odometry():
 
 def test_benchmark_odometry_mode():
     """Frame-to-frame odometry mode (reference camera_tracker semantics):
-    every frame becomes a keyframe; accuracy holds on a clean sequence."""
+    no keyframe store, no pose graph — sequence length is unbounded by
+    SlamConfig capacities; accuracy holds on a clean sequence."""
+    import dataclasses
+
     from dvo_slam_tpu import benchmark
 
+    # Capacities far below the frame count must not matter in this mode.
+    tiny = dataclasses.replace(SLAM, max_keyframes=2, max_edges=2)
     res = benchmark.run_synthetic(
         num_frames=6, width=W, height=H,
-        tracker_cfg=TRACKER, slam_cfg=SLAM, mode="odometry",
+        tracker_cfg=TRACKER, slam_cfg=tiny, mode="odometry",
     )
-    assert res.num_keyframes == 6
+    assert res.num_keyframes == 0
     assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.01
+
+
+def test_benchmark_groundtruth_gaps_excluded():
+    """Frames without a groundtruth match must be excluded from ATE, not
+    evaluated against identity placeholders."""
+    import numpy as np
+
+    from dvo_slam_tpu import benchmark
+    from dvo_slam_tpu.utils import synthetic
+
+    K = (W * 0.8, W * 0.8, (W - 1) / 2.0, (H - 1) / 2.0)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(6, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    gt = list(poses)
+    gt[2] = None  # mocap dropout
+    gt[4] = None
+    res = benchmark.run_sequence(
+        ((i / 30.0, f[0], f[1]) for i, f in enumerate(frames)),
+        K, TRACKER, SLAM, groundtruth=gt, mode="odometry", warmup=0,
+    )
+    # With identity placeholders this would be tens of cm; excluded
+    # frames keep it at synthetic-accuracy levels.
+    assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.01
+
+
+def test_odometry_covariance_export(tmp_path):
+    """Per-frame covariance sidecar (reference PoseWithCovarianceStamped
+    from Information^{-1}, dvo_ros camera_dense_tracking)."""
+    import numpy as np
+
+    from dvo_slam_tpu import benchmark
+    from dvo_slam_tpu.utils import synthetic
+
+    K = (W * 0.8, W * 0.8, (W - 1) / 2.0, (H - 1) / 2.0)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(5, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    cov_path = str(tmp_path / "cov.txt")
+    benchmark.run_sequence(
+        ((i / 30.0, f[0], f[1]) for i, f in enumerate(frames)),
+        K, TRACKER, SLAM, mode="odometry", warmup=0,
+        covariance_out=cov_path,
+    )
+    rows = [line.split() for line in open(cov_path)]
+    assert len(rows) == 5
+    assert all(len(r) == 37 for r in rows)  # timestamp + 6x6
+    cov = np.asarray([float(v) for v in rows[2][1:]]).reshape(6, 6)
+    assert np.isfinite(cov).all()
+    np.testing.assert_allclose(cov, cov.T, atol=1e-12)
+    assert (np.linalg.eigvalsh(cov) > 0).all()  # a real covariance
 
 
 def test_cli_evaluate(tmp_path):
