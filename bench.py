@@ -7,11 +7,25 @@ vs_baseline is against the reference's ~30 Hz on a 2013 desktop CPU
 
 Measures the reference-equivalent per-frame work (SURVEY.md §3.2): pyramid
 build for the incoming frame + DenseTracker::match against the previous
-frame at default levels (coarsest 80x60 .. finest tracked 320x240), with
-default bivariate t-distribution IRLS. Frames are synthetic (no dataset on
-the machine) — fps does not depend on image content.
+frame at default levels (coarsest 80x60 .. finest tracked 320x240), default
+bivariate t-distribution IRLS, per-iteration stats collection on (reference
+parity). The workload is a pre-rendered RING of frames along a smooth
+trajectory — every dispatch sees different pixels and consumes the previous
+step's pyramid and pose (constant-velocity warm start, the reference's
+UseInitialEstimate semantics), so the runtime can neither elide nor
+deduplicate work and iteration counts vary realistically across pairs.
 
-Run: python bench.py [--frames N] [--size WxH] [--levels coarse,fine]
+Modes:
+  odometry (default) — frame-to-frame tracking, the headline number
+  cold               — same ring but identity initialization every frame
+                       (no warm start; round-1-comparable upper-bound work)
+  dual               — the SLAM dual-alignment step (batch 2: keyframe +
+                       previous frame per incoming frame)
+  slam               — full KeyframeSlam.update loop (includes per-frame
+                       host round trips and keyframe switches; on remoted
+                       devices this is dominated by tunnel latency)
+
+Run: python bench.py [--mode M] [--frames N] [--width W --height H]
 """
 
 from __future__ import annotations
@@ -24,30 +38,41 @@ import time
 import numpy as np
 
 
+def _render_ring(W, H, K_t, n=8, radius=0.06):
+    """n frames along a closed orbit; consecutive (and wrap-around) motions
+    are realistic inter-frame steps."""
+    from dvo_slam_tpu.utils import synthetic
+
+    scene = synthetic.two_plane_scene(sharpness=2.0)
+    poses = synthetic.orbit_trajectory(n + 1, radius=radius)[:n]
+    frames = synthetic.render_sequence(scene, np.asarray(K_t), W, H, poses)
+    return frames, poses
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--mode", default="odometry",
+                    choices=["odometry", "cold", "dual", "slam"])
+    ap.add_argument("--frames", type=int, default=400)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
-    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--ring", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--margin", type=int, default=None,
                     help="override pallas window margin (rows)")
-    ap.add_argument("--dual", action="store_true",
-                    help="benchmark the SLAM dual-alignment step (batch 2)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from dvo_slam_tpu.config import TrackerConfig
+    from dvo_slam_tpu.config import SlamConfig, TrackerConfig
     from dvo_slam_tpu.models import dense_tracker
     from dvo_slam_tpu.ops import camera, pyramid
-    from dvo_slam_tpu.utils import synthetic
 
     W, H = args.width, args.height
     # Reference defaults: levels 3..1 of a 4-level pyramid. On TPU use the
-    # fused Pallas sampling kernel (4x faster IRLS iterations); elsewhere
-    # the portable XLA gather path.
+    # fused Pallas sampling kernel (NaN-safe mask channel included);
+    # elsewhere the portable XLA gather path.
     on_tpu = jax.devices()[0].platform == "tpu"
     kw = {}
     if args.margin is not None:
@@ -56,59 +81,117 @@ def main():
     K_t = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), cfg.num_levels)
 
-    # Two synthetic frames with a realistic inter-frame motion; the tracker
-    # is re-run per "frame" (constant content does not change the math cost:
-    # iteration counts are driven to the cap consistent with real tracking).
-    scene = synthetic.two_plane_scene(sharpness=2.0)
-    from dvo_slam_tpu.utils import se3_np
+    frames, _ = _render_ring(W, H, K_t, n=args.ring)
+    ring = [(jnp.asarray(i), jnp.asarray(z)) for i, z in frames]
 
-    T_rel = se3_np.exp(np.array([0.004, -0.002, 0.003, 0.002, -0.001, 0.002]))
-    i0, z0 = scene.render(np.asarray(K_t), W, H, np.eye(4))
-    i1, z1 = scene.render(np.asarray(K_t), W, H, se3_np.inverse(T_rel))
+    if args.mode == "slam":
+        fps, note = _bench_slam(args, cfg, K_t, frames)
+    else:
+        fps, note = _bench_tracking(args, cfg, Ks, ring, jax, jnp,
+                                    dense_tracker, pyramid)
 
-    intensity0 = jnp.asarray(i0)
-    depth0 = jnp.asarray(z0)
-    intensity1 = jnp.asarray(i1)
-    depth1 = jnp.asarray(z1)
-
-    @jax.jit
-    def step(int_c, dep_c, ref_pyr, T0):
-        """One odometry frame: pyramid build + dense tracking."""
-        cur = pyramid.build_pyramid(int_c, dep_c, cfg.num_levels)
-        res = dense_tracker.track(ref_pyr, cur, Ks, T0, cfg)
-        return cur, res
-
-    ref_pyr = jax.jit(
-        lambda i, d: pyramid.build_pyramid(i, d, cfg.num_levels)
-    )(intensity0, depth0)
-    T0 = jnp.eye(4)
-
-    # Warmup / compile.
-    for _ in range(max(args.warmup, 1)):
-        cur, res = step(intensity1, depth1, ref_pyr, T0)
-        jax.block_until_ready(res.transformation)
-
-    t_start = time.perf_counter()
-    for _ in range(args.frames):
-        cur, res = step(intensity1, depth1, ref_pyr, T0)
-    jax.block_until_ready(res.transformation)
-    elapsed = time.perf_counter() - t_start
-
-    fps = args.frames / elapsed
-    iters = np.asarray(res.iterations).tolist()
     out = {
-        "metric": f"tracked_fps_{W}x{H}",
+        "metric": f"tracked_fps_{W}x{H}"
+        + ("" if args.mode == "odometry" else f"_{args.mode}"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 2),
     }
     print(json.dumps(out))
-    print(
-        f"# device={jax.devices()[0].platform} frames={args.frames} "
-        f"elapsed={elapsed:.3f}s iters_per_level={iters} "
-        f"ms_per_frame={1000*elapsed/args.frames:.2f}",
-        file=sys.stderr,
-    )
+    print(f"# device={jax.devices()[0].platform} mode={args.mode} "
+          f"frames={args.frames} ring={args.ring} {note}", file=sys.stderr)
+
+
+def _bench_tracking(args, cfg, Ks, ring, jax, jnp, dense_tracker, pyramid):
+    n_ring = len(ring)
+    warm_start = args.mode != "cold"
+    batch = 2 if args.mode == "dual" else 0
+
+    if batch:
+        @jax.jit
+        def step(int_c, dep_c, ref_pyrs, T0s):
+            cur = pyramid.build_pyramid(int_c, dep_c, cfg.num_levels)
+
+            def track(ref, T0):
+                return dense_tracker.track(ref, cur, Ks, T0, cfg)
+
+            # Next step's stacked reference is produced INSIDE the jit:
+            # host-side per-level jnp.stack calls cost a dispatch each —
+            # several tunnel round trips per frame on remoted devices.
+            nxt = tuple(jnp.stack([l] * batch) for l in cur)
+            return nxt, jax.vmap(track)(ref_pyrs, T0s)
+    else:
+        @jax.jit
+        def step(int_c, dep_c, ref_pyr, T0):
+            cur = pyramid.build_pyramid(int_c, dep_c, cfg.num_levels)
+            return cur, dense_tracker.track(ref_pyr, cur, Ks, T0, cfg)
+
+    build = jax.jit(lambda i, d: pyramid.build_pyramid(i, d, cfg.num_levels))
+    ref_pyr = build(*ring[0])
+    eye = jnp.eye(4)
+    if batch:
+        ref_pyr = tuple(jnp.stack([l, l]) for l in ref_pyr)
+        T_init = jnp.stack([eye, eye])
+    else:
+        T_init = eye
+
+    def run(n, ref_pyr, T0):
+        iters = []
+        for k in range(n):
+            int_c, dep_c = ring[(k + 1) % n_ring]
+            cur, res = step(int_c, dep_c, ref_pyr, T0)
+            ref_pyr = cur  # already stacked in-jit for dual mode
+            if warm_start:
+                # Constant-velocity warm start: consume the previous pose
+                # ON DEVICE (no host sync; chains real data dependencies).
+                T0 = res.transformation
+            iters.append(res.iterations)
+        jax.block_until_ready(res.transformation)
+        return res, iters
+
+    res, _ = run(max(args.warmup, 2 * n_ring), ref_pyr, T_init)  # compile+warm
+    t0 = time.perf_counter()
+    res, iters = run(args.frames, ref_pyr, T_init)
+    elapsed = time.perf_counter() - t0
+
+    mean_iters = np.mean([np.asarray(i) for i in iters], axis=0)
+    if mean_iters.ndim > 1:  # dual: (B, L)
+        mean_iters = mean_iters.mean(axis=0)
+    note = (f"elapsed={elapsed:.3f}s warm_start={warm_start} "
+            f"mean_iters_per_level={np.round(mean_iters, 2).tolist()} "
+            f"ms_per_frame={1000 * elapsed / args.frames:.2f}")
+    return args.frames / elapsed, note
+
+
+def _bench_slam(args, cfg, K_t, frames):
+    """Full SLAM orchestration fps: dual alignment + entropy-ratio keyframe
+    decisions + (async) pose-graph upkeep, host loop included."""
+    from dvo_slam_tpu.config import SlamConfig
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+
+    slam_cfg = SlamConfig()
+    n_ring = len(frames)
+
+    def run(slam, n, t_base):
+        for k in range(n):
+            i, z = frames[k % n_ring]
+            if k > 0 and k % 16 == 0:
+                slam.force_keyframe()  # exercise switch + graph + local map
+            slam.update(i, z, t_base + k / 30.0)
+
+    warm = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    warm.init()
+    run(warm, 2 * n_ring + 17, 0.0)
+
+    slam = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    slam.init()
+    t0 = time.perf_counter()
+    run(slam, args.frames, 100.0)
+    elapsed = time.perf_counter() - t0
+    note = (f"elapsed={elapsed:.3f}s keyframes={len(slam.keyframes)} "
+            f"ms_per_frame={1000 * elapsed / args.frames:.2f} "
+            "(includes per-frame host round trips)")
+    return args.frames / elapsed, note
 
 
 if __name__ == "__main__":
