@@ -209,8 +209,15 @@ class SlamConfig:
     outlier_weight_threshold: float = 0.1
 
     # --- padded capacities (static shapes for jit) ---
+    # Initial capacities only: the graph re-pads (doubling) when full, so
+    # runs are unbounded like the reference; each growth recompiles the
+    # device solver once (O(log N) recompiles over a run).
     max_keyframes: int = 256
     max_edges: int = 1024
+    # Keyframe pyramids resident in HBM (~10 MB each at 640x480); older
+    # ones spill to host RAM and re-upload inside loop-closure validation
+    # batches on candidacy.
+    resident_keyframes: int = 64
 
     # --- tracker configs used by the SLAM layer ---
     # Coarse validation tracks only the coarsest levels; fine validation

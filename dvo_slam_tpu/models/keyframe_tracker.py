@@ -73,10 +73,11 @@ class Keyframe:
 
     idx: int
     timestamp: float
-    pyramid: tuple  # device slab pyramid
+    pyramid: tuple  # slab pyramid; device arrays while resident, numpy after eviction
     entropy_first: Optional[float] = None  # H of first frame tracked vs this kf
     entropy_sum: float = 0.0
     entropy_count: int = 0
+    resident: bool = True  # pyramid currently in HBM
 
     @property
     def entropy_avg(self) -> Optional[float]:
@@ -389,10 +390,12 @@ class KeyframeSlam:
 
     def _add_keyframe(self, pyr, timestamp, T_w, parent_idx, edge):
         idx = len(self.keyframes)
-        if idx >= self.slam_cfg.max_keyframes:
-            raise RuntimeError(
-                f"keyframe capacity {self.slam_cfg.max_keyframes} exceeded; "
-                "raise SlamConfig.max_keyframes"
+        if idx >= self.graph.poses.shape[0]:
+            # Graceful growth instead of a hard failure (the reference runs
+            # indefinitely): doubling keeps optimize() recompiles O(log N).
+            self._sync_poses()
+            self.graph = pose_graph.grow(
+                self.graph, max_vertices=2 * self.graph.poses.shape[0]
             )
         self.keyframes.append(Keyframe(idx=idx, timestamp=timestamp, pyramid=pyr))
         self.kf_poses.append(np.asarray(T_w, np.float64))
@@ -403,14 +406,27 @@ class KeyframeSlam:
         if parent_idx is not None:
             Z, info = edge
             self._add_edge(parent_idx, idx, se3_np.inverse(Z), info)
+        self._evict_keyframe_pyramids()
+
+    def _evict_keyframe_pyramids(self):
+        """Spill old keyframe pyramids to host RAM, keeping at most
+        `resident_keyframes` in HBM. Pyramids are only needed again for
+        loop-closure validation, whose batched stack accepts host arrays
+        (re-upload happens inside that dispatch) — so eviction bounds HBM
+        at ~resident_keyframes x 10 MB regardless of sequence length."""
+        budget = self.slam_cfg.resident_keyframes
+        resident = [k for k in self.keyframes[:-1] if k.resident]
+        for kf in resident[: max(0, len(resident) + 1 - budget)]:
+            kf.pyramid = tuple(np.asarray(lvl) for lvl in kf.pyramid)
+            kf.resident = False
 
     def _add_edge(self, i: int, j: int, Z: np.ndarray, info: np.ndarray):
         """Z convention: T_i^{-1} T_j (maps j-cam coords into i-cam)."""
         e = int(self.graph.num_edges)
-        if e >= self.slam_cfg.max_edges:
-            raise RuntimeError(
-                f"edge capacity {self.slam_cfg.max_edges} exceeded; raise "
-                "SlamConfig.max_edges"
+        if e >= self.graph.edge_i.shape[0]:
+            self._sync_poses()
+            self.graph = pose_graph.grow(
+                self.graph, max_edges=2 * self.graph.edge_i.shape[0]
             )
         self.graph = self.graph._replace(
             edge_i=self.graph.edge_i.at[e].set(i),

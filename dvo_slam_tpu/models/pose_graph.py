@@ -61,6 +61,38 @@ def empty_graph(max_vertices: int, max_edges: int) -> PoseGraph:
     )
 
 
+def grow(graph: PoseGraph, max_vertices: int = None,
+         max_edges: int = None) -> PoseGraph:
+    """Re-pad the graph to larger capacities (contents preserved).
+
+    The reference grows g2o graphs dynamically; here capacity is a static
+    shape, so growth re-pads (doubling at the call site keeps recompiles
+    of `optimize` to O(log N) over a run).
+    """
+    M_old = graph.poses.shape[0]
+    E_old = graph.edge_i.shape[0]
+    M = max(max_vertices or M_old, M_old)
+    E = max(max_edges or E_old, E_old)
+    eye4 = jnp.eye(4, dtype=graph.poses.dtype)
+    eye6 = jnp.eye(6, dtype=graph.information.dtype)
+    return PoseGraph(
+        poses=jnp.concatenate(
+            [graph.poses, jnp.tile(eye4, (M - M_old, 1, 1))]
+        ) if M > M_old else graph.poses,
+        num_vertices=graph.num_vertices,
+        edge_i=jnp.pad(graph.edge_i, (0, E - E_old)),
+        edge_j=jnp.pad(graph.edge_j, (0, E - E_old)),
+        measurements=jnp.concatenate(
+            [graph.measurements, jnp.tile(eye4, (E - E_old, 1, 1))]
+        ) if E > E_old else graph.measurements,
+        information=jnp.concatenate(
+            [graph.information, jnp.tile(eye6, (E - E_old, 1, 1))]
+        ) if E > E_old else graph.information,
+        edge_mask=jnp.pad(graph.edge_mask, (0, E - E_old)),
+        num_edges=graph.num_edges,
+    )
+
+
 def edge_residual(T_i, T_j, Z):
     """e = log(Z^{-1} T_i^{-1} T_j) in R^6 (SURVEY.md §4.6)."""
     return se3.log(se3.inverse(Z) @ se3.inverse(T_i) @ T_j)

@@ -164,4 +164,5 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
     slam._last_odo = np.asarray(z["last_odo"], np.float64)
     slam._force_next = bool(z["force_next"])
     slam._initialized = bool(z["initialized"])
+    slam._evict_keyframe_pyramids()  # re-apply the HBM residency budget
     return slam

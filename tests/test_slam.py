@@ -146,6 +146,43 @@ def test_reset_restarts_tracking():
     np.testing.assert_allclose(traj[0.1], anchor, atol=1e-9)
 
 
+def test_capacity_growth_and_eviction():
+    """Sequences longer than the initial padded capacities must keep
+    running (the reference runs indefinitely): vertex/edge capacity doubles
+    when full, and old keyframe pyramids spill to host RAM beyond the HBM
+    residency budget while still serving loop-closure validation."""
+    tiny = dataclasses.replace(
+        SLAM, max_keyframes=3, max_edges=3, resident_keyframes=2,
+        min_constraint_distance=3,
+    )
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(12, radius=0.06)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, tiny, enable_loop_closure=True)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        if i > 0:
+            slam.force_keyframe()
+        slam.update(intensity, depth, i / 30.0)
+    traj = slam.finish()
+    # Capacities grew past their initial values.
+    assert len(slam.keyframes) == 12
+    assert slam.graph.poses.shape[0] >= 12
+    assert int(slam.graph.num_edges) >= 11
+    # Residency budget enforced; evicted pyramids are host arrays.
+    resident = [k for k in slam.keyframes if k.resident]
+    assert len(resident) <= tiny.resident_keyframes
+    evicted = [k for k in slam.keyframes if not k.resident]
+    assert evicted and all(
+        isinstance(k.pyramid[0], np.ndarray) for k in evicted
+    )
+    # Evicted keyframes still validated loop closures; accuracy holds.
+    assert slam.num_loop_edges >= 1
+    est = [T for _, T in traj]
+    ate = evaluate.ate_rmse(est, poses)
+    assert ate < 0.005, f"ATE {ate*1000:.2f} mm"
+
+
 def test_frame_logger_records_iteration_stats():
     """The jsonl frame logger must carry per-iteration tracking statistics
     (reference per-frame Stats + ROS_INFO observability)."""
