@@ -1,0 +1,149 @@
+"""Hard accuracy benchmark: full-scale SLAM on an on-disk synthetic loop.
+
+The reference's validation is `benchmark_slam` on TUM fr1/desk (SURVEY.md
+§3.1, §5); the dataset cannot be fetched on this machine, so this harness
+builds the hardest self-contained equivalent: a 640x480, 240-frame
+TUM-layout sequence ON DISK (PNG-encoded, uint16 depth, Kinect-style
+sensor noise + depth dropout) whose trajectory accumulates real drift and
+closes a genuine loop — then runs the COMPLETE from-disk pipeline (native
+PNG decode, depth conversion, association, keyframe SLAM with loop
+closure, TUM-format trajectory, ATE/RPE oracles) and gates:
+
+  1. absolute:   ATE(slam) below a documented bound;
+  2. loop value: ATE(slam) beats ATE(keyframe odometry, no loop closure)
+                 by a margin — the IROS13 headline claim.
+
+Run: python bench/accuracy.py [--frames N] [--width W --height H]
+                              [--dir DIR] [--keep]
+Prints one JSON line with both ATEs and the gate verdicts.
+
+For the real fr1/desk parity protocol (when a dataset is present), see
+docs/fr1_desk_protocol.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--radius", type=float, default=0.5,
+                    help="loop radius in meters")
+    ap.add_argument("--dir", default=None,
+                    help="dataset directory (default: temp, deleted unless --keep)")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--ate-bound-m", type=float, default=0.02)
+    ap.add_argument("--calib-error", type=float, default=0.0,
+                    help="relative focal-length miscalibration used for "
+                         "tracking (renders use the true K). NOTE: a "
+                         "consistent calibration bias warps the whole "
+                         "trajectory WITHOUT creating loop inconsistency, "
+                         "so loop closure rightly cannot fix it — it is "
+                         "off by default and the drift the loop gate "
+                         "measures comes from stochastic sensor noise "
+                         "(a random walk of per-frame errors).")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    from dvo_slam_tpu import benchmark
+    from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+    from dvo_slam_tpu.utils import synthetic
+
+    W, H = args.width, args.height
+    K = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
+
+    out_dir = args.dir or tempfile.mkdtemp(prefix="dvo_synth_")
+    print(f"# rendering {args.frames} frames {W}x{H} -> {out_dir}",
+          file=sys.stderr)
+    rng = np.random.default_rng(args.seed)
+    scene = synthetic.two_plane_scene(sharpness=1.0)
+    # yaw_amplitude 0.6 rad: the viewpoint sweeps +-34 degrees, shrinking
+    # frame-to-keyframe overlap enough that the entropy-ratio criterion
+    # fires like it does on real handheld motion.
+    # Two traversals of the loop: revisits (loop-closure opportunities)
+    # happen throughout the second half, like a real exploration sequence.
+    poses = synthetic.orbit_trajectory(args.frames, radius=args.radius,
+                                       yaw_amplitude=0.6, cycles=2.0)
+    # Heavy Kinect-style corruption (vs the defaults the unit tests use):
+    # weak texture + strong intensity/depth noise + 25% depth dropout make
+    # per-frame estimates a genuine random walk, so odometry DRIFTS at the
+    # centimeter scale and the slam-vs-odometry gate has real work to
+    # measure.
+    frames = [
+        synthetic.add_sensor_noise(i, z, rng, intensity_std=10.0,
+                                   depth_rel_std=0.05, dropout=0.25)
+        for i, z in synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    ]
+    synthetic.write_tum_dataset(out_dir, frames, poses)
+    # Track with slightly-wrong focal lengths (the dataset was rendered
+    # with the true K): systematic miscalibration is what makes real
+    # odometry DRIFT over a loop — random sensor noise alone averages out
+    # at 640x480 — giving loop closure genuine drift to repair.
+    K_track = (K[0] * (1 + args.calib_error), K[1] * (1 + args.calib_error),
+               K[2], K[3])
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    tracker_cfg = TrackerConfig(
+        sampler_backend="pallas" if on_tpu else "gather"
+    )
+    slam_cfg = SlamConfig(
+        new_constraint_search_radius=0.35 * args.radius,
+        min_constraint_distance=3,
+        # Synthetic scenes degrade tracking far more gently than real
+        # handheld footage, so at 0.9 the keyframe cadence is too sparse
+        # for loop candidates to exist at all; 0.96 restores a realistic
+        # cadence (a SlamConfig knob the reference exposes too).
+        min_entropy_ratio=0.96,
+    )
+
+    results = {}
+    for mode in ("slam", "keyframe"):
+        t0 = time.perf_counter()
+        res = benchmark.run_tum_dataset(
+            out_dir, tracker_cfg, slam_cfg, mode=mode, intrinsics=K_track,
+        )
+        wall = time.perf_counter() - t0
+        results[mode] = res
+        print(f"# {mode}: ate={res.ate_rmse_m*1000:.2f}mm "
+              f"rpe_t={res.rpe_trans_m*1000:.2f}mm kf={res.num_keyframes} "
+              f"loop_edges={res.num_loop_edges} fps={res.fps:.1f} "
+              f"(wall {wall:.1f}s incl. decode+compile)", file=sys.stderr)
+
+    ate_slam = results["slam"].ate_rmse_m
+    ate_odo = results["keyframe"].ate_rmse_m
+    verdict = {
+        "metric": f"synthetic_loop_ate_{W}x{H}_{args.frames}f",
+        "ate_slam_m": round(ate_slam, 6),
+        "ate_keyframe_odometry_m": round(ate_odo, 6),
+        "loop_edges": results["slam"].num_loop_edges,
+        "keyframes": results["slam"].num_keyframes,
+        "slam_fps": round(results["slam"].fps, 2),
+        "gate_absolute": ate_slam < args.ate_bound_m,
+        # Loop closure must cut drift by a real margin (IROS13 shows ~2.4x
+        # on fr1/desk: 0.05 -> 0.021 m).
+        "gate_loop_beats_odometry": bool(
+            results["slam"].num_loop_edges >= 1 and ate_slam <= 0.7 * ate_odo
+        ),
+    }
+    print(json.dumps(verdict))
+    if not args.keep and args.dir is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0 if verdict["gate_absolute"] and verdict["gate_loop_beats_odometry"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

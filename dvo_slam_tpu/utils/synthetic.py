@@ -95,18 +95,24 @@ def two_plane_scene(sharpness=1.0):
     )
 
 
-def orbit_trajectory(num_frames, radius=0.04, step=None):
+def orbit_trajectory(num_frames, radius=0.04, step=None, yaw_amplitude=0.03,
+                     cycles=1.0):
     """Small smooth camera motion (camera-to-world poses), loop-friendly.
 
-    A gentle circular translation + small yaw oscillation: consecutive-frame
+    A gentle circular translation + yaw oscillation: consecutive-frame
     motion is a few mm / <0.5 deg like a 30 Hz handheld camera, and the
     trajectory returns near its start (exercises loop closure).
+    yaw_amplitude (radians) controls how far the viewpoint sweeps — large
+    values shrink frame-to-keyframe overlap and drive entropy-ratio
+    keyframe switches like real exploratory motion does. cycles > 1
+    re-traverses the loop so revisits (loop-closure opportunities) occur
+    throughout the sequence, not only at the very end.
     """
     poses = []
     for i in range(num_frames):
-        a = 2.0 * np.pi * i / max(num_frames, 1)
+        a = 2.0 * np.pi * cycles * i / max(num_frames, 1)
         t = np.array([radius * np.sin(a), radius * (1 - np.cos(a)), 0.02 * np.sin(a)])
-        yaw = 0.03 * np.sin(a)
+        yaw = yaw_amplitude * np.sin(a)
         pitch = 0.02 * (1 - np.cos(a))
         xi = np.concatenate([t, [pitch, yaw, 0.01 * np.sin(2 * a)]])
         poses.append(se3_np.exp(xi))
@@ -131,3 +137,48 @@ def render_sequence(scene, K, width, height, poses):
     for T_wc in poses:
         frames.append(scene.render(K, width, height, T_wc))
     return frames
+
+
+def write_tum_dataset(out_dir, frames, poses, fps=30.0, depth_scale=5000.0):
+    """Write frames to disk in the standard TUM RGB-D layout.
+
+    Produces rgb/*.png (8-bit grayscale), depth/*.png (uint16,
+    meters * depth_scale, 0 = invalid — exactly the Kinect encoding the
+    reference's SurfacePyramid::convertRawDepthImage consumes), rgb.txt /
+    depth.txt / assoc.txt and groundtruth.txt, so the full from-disk
+    pipeline (PNG decode, depth conversion, association, ATE oracle) is
+    exercised end to end without the real dataset.
+    """
+    import os
+
+    import cv2
+
+    from dvo_slam_tpu.utils import tum
+
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, assoc_lines, stamps = [], [], [], []
+    for i, (intensity, depth) in enumerate(frames):
+        ts = i / fps
+        stamps.append(ts)
+        rgb_name = f"rgb/{ts:.6f}.png"
+        depth_name = f"depth/{ts:.6f}.png"
+        cv2.imwrite(
+            os.path.join(out_dir, rgb_name),
+            np.clip(intensity, 0, 255).astype(np.uint8),
+        )
+        raw = np.where(np.isfinite(depth), depth * depth_scale, 0.0)
+        cv2.imwrite(
+            os.path.join(out_dir, depth_name),
+            np.clip(raw, 0, 65535).astype(np.uint16),
+        )
+        rgb_lines.append(f"{ts:.6f} {rgb_name}")
+        depth_lines.append(f"{ts:.6f} {depth_name}")
+        assoc_lines.append(f"{ts:.6f} {rgb_name} {ts:.6f} {depth_name}")
+    for name, lines in (("rgb.txt", rgb_lines), ("depth.txt", depth_lines),
+                        ("assoc.txt", assoc_lines)):
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write("# synthetic TUM-layout sequence\n")
+            f.write("\n".join(lines) + "\n")
+    tum.write_trajectory(os.path.join(out_dir, "groundtruth.txt"), stamps, poses)
+    return stamps

@@ -64,14 +64,25 @@ def read_assoc(path):
 
 def associate(a_stamps, b_stamps, max_difference=0.02):
     """Greedy closest-timestamp association (reference findClosestEntry /
-    the dataset's associate.py). Returns list of (i, j) index pairs."""
+    the dataset's associate.py). Returns list of (i, j) index pairs.
+
+    Candidates are enumerated by bisecting each a-stamp into the sorted
+    b-stamps (O(N log N + K) for K in-window pairs — identical candidate
+    set and therefore identical greedy result to the quadratic all-pairs
+    scan, without materializing ~10M tuples on a 3k-frame sequence)."""
+    import bisect
+
+    order_b = sorted(range(len(b_stamps)), key=lambda j: b_stamps[j])
+    sorted_b = [b_stamps[j] for j in order_b]
+    candidates = []
+    for i, ta in enumerate(a_stamps):
+        lo = bisect.bisect_left(sorted_b, ta - max_difference)
+        hi = bisect.bisect_right(sorted_b, ta + max_difference)
+        for k in range(lo, hi):
+            if abs(ta - sorted_b[k]) < max_difference:
+                candidates.append((abs(ta - sorted_b[k]), i, order_b[k]))
+    candidates.sort()
     pairs = []
-    candidates = sorted(
-        (abs(ta - tb), i, j)
-        for i, ta in enumerate(a_stamps)
-        for j, tb in enumerate(b_stamps)
-        if abs(ta - tb) < max_difference
-    )
     used_a, used_b = set(), set()
     for _, i, j in candidates:
         if i not in used_a and j not in used_b:

@@ -1,0 +1,48 @@
+"""On-disk end-to-end accuracy gate (reduced-scale bench/accuracy.py).
+
+The full-scale version (640x480, 240 frames, TPU) is bench/accuracy.py;
+this is the same COMPLETE pipeline — PNG-encoded TUM-layout sequence on
+disk with sensor noise, depth dropout and a genuine closing loop, decoded
+through TumDataset (native path when available), tracked by full SLAM with
+entropy-ratio keyframe selection and loop-closure validation, evaluated by
+the ATE oracle — at a CPU-affordable scale.
+"""
+
+import numpy as np
+
+from dvo_slam_tpu import benchmark
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.utils import synthetic
+
+W, H = 96, 72
+K = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
+TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=30)
+
+
+def test_on_disk_slam_accuracy(tmp_path):
+    rng = np.random.default_rng(11)
+    scene = synthetic.two_plane_scene(sharpness=2.0)
+    poses = synthetic.orbit_trajectory(50, radius=0.25, yaw_amplitude=0.6)
+    frames = [
+        synthetic.add_sensor_noise(i, z, rng, intensity_std=2.0,
+                                   depth_rel_std=0.01, dropout=0.02)
+        for i, z in synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    ]
+    out = str(tmp_path / "seq")
+    synthetic.write_tum_dataset(out, frames, poses)
+
+    slam_cfg = SlamConfig(
+        new_constraint_search_radius=0.12,
+        min_constraint_distance=4,
+        coarse_first_level=1,
+        coarse_last_level=1,
+        validation_batch=4,
+    )
+    res = benchmark.run_tum_dataset(out, TRACKER, slam_cfg, mode="slam",
+                                    intrinsics=K)
+    # Real keyframe cadence (entropy-ratio, not forced), a genuine loop
+    # closure, and an absolute accuracy bound — all from disk.
+    assert res.num_keyframes >= 3, res
+    assert res.num_loop_edges >= 1, res
+    assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.02, res
