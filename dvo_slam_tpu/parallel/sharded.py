@@ -79,6 +79,42 @@ def sharded_track_pairs(mesh: Mesh, cfg: TrackerConfig):
     return jax.jit(fn)
 
 
+def sharded_validation_fleet(mesh: Mesh, cfg: TrackerConfig):
+    """Loop-closure validation fleet sharded over the mesh (SURVEY.md §8.1).
+
+    The reference validates constraint proposals serially with a dedicated
+    tracker (ConstraintProposalValidator); models/constraints.py batches
+    them on one chip; this spreads the fleet over devices: candidates x
+    directions ride the 'batch' axis (forward cand->new alignments are
+    rows [0, B), backward new->cand rows [B, 2B)), pixel rows the 'pixel'
+    axis. Returns fn(cand_pyrs, new_pyr, Ks, T_inits) -> (fwd, bwd)
+    TrackResults with leading dim B; 2B must be divisible by the batch
+    axis (pad candidates like models/constraints._pad_batch does).
+    """
+    from dvo_slam_tpu.ops import se3
+
+    track = sharded_track_pairs(mesh, cfg)
+
+    @jax.jit
+    def prepare(cand_pyrs, new_pyr, T_inits):
+        B = T_inits.shape[0]
+        news = tuple(jnp.broadcast_to(l, (B,) + l.shape) for l in new_pyr)
+        refs = tuple(jnp.concatenate([c, n]) for c, n in zip(cand_pyrs, news))
+        curs = tuple(jnp.concatenate([n, c]) for c, n in zip(cand_pyrs, news))
+        T2 = jnp.concatenate([T_inits, jax.vmap(se3.inverse)(T_inits)])
+        return refs, curs, T2
+
+    def fn(cand_pyrs, new_pyr, Ks, T_inits):
+        B = T_inits.shape[0]
+        refs, curs, T2 = prepare(cand_pyrs, new_pyr, T_inits)
+        res = track(refs, curs, Ks, T2)
+        fwd = jax.tree.map(lambda x: x[:B], res)
+        bwd = jax.tree.map(lambda x: x[B:], res)
+        return fwd, bwd
+
+    return fn
+
+
 def sharded_pose_graph_build(mesh: Mesh):
     """Edge-sharded pose-graph Hessian assembly (psum over 'batch' axis).
 

@@ -132,3 +132,35 @@ def test_sharded_pose_graph_build_matches(mesh):
     H_sh[:6, :6] = 0.0
     np.testing.assert_allclose(H_sh, H_ref, atol=2e-3)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-3)
+
+
+def test_sharded_validation_fleet_matches(mesh):
+    """The mesh-sharded validation fleet (candidates x directions on
+    'batch') must reproduce the single-device batched validator results."""
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=8)
+    ref, cur, Ks, T_rel = _pair()
+    B = 2  # 2B = 4 rows over the 4-way batch axis
+    cands = tuple(jnp.broadcast_to(l, (B,) + l.shape) for l in ref)
+    T0 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+    fleet = sharded.sharded_validation_fleet(mesh, cfg)
+    fwd, bwd = fleet(cands, cur, Ks, T0)
+
+    curs = tuple(jnp.broadcast_to(l, (B,) + l.shape) for l in cur)
+    fwd_ref = dense_tracker.track_pairs_batched(cands, curs, Ks, T0, cfg)
+    bwd_ref = dense_tracker.track_pairs_batched(curs, cands, Ks, T0, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(fwd.transformation), np.asarray(fwd_ref.transformation),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bwd.transformation), np.asarray(bwd_ref.transformation),
+        atol=5e-5,
+    )
+    # Cross-validation consistency: forward o backward ~ identity.
+    T_fb = np.asarray(fwd.transformation[0], np.float64) @ np.asarray(
+        bwd.transformation[0], np.float64
+    )
+    assert np.linalg.norm(se3_np.log(T_fb)) < 5e-3
