@@ -177,6 +177,11 @@ class SlamConfig:
     # Forward-backward consistency: || log(T_fwd * T_bwd) || below this
     # (reference CrossValidationVoter).
     cross_validation_threshold: float = 0.10
+    # OdometryConstraintVoter: reject a coarse-validated constraint whose
+    # measured pose deviates from its graph-predicted initialization by a
+    # twist norm above this (plausible-accumulated-drift bound; generous
+    # because the prediction itself carries the drift loop closure fixes).
+    odometry_constraint_threshold: float = 1.0
     # Batch size for the vmapped constraint validator (candidates are
     # padded/chunked to this size).
     validation_batch: int = 8

@@ -72,6 +72,19 @@ def _pad_batch(pyrs, T_inits, batch):
     return stacked, T
 
 
+def _odometry_vote(T_measured, T_init, slam_cfg: SlamConfig) -> bool:
+    """OdometryConstraintVoter: a validated constraint must not wildly
+    contradict the current graph estimate it was seeded from. The initial
+    T comes from composing the (odometry-chained, partially optimized)
+    keyframe poses; a measured pose further than the plausible accumulated
+    drift from that prediction is more likely a self-similarity false
+    positive than a real loop (reference dvo_slam/src/constraints/*)."""
+    delta = np.linalg.norm(
+        se3_np.log(np.asarray(T_measured, np.float64) @ se3_np.inverse(T_init))
+    )
+    return delta <= slam_cfg.odometry_constraint_threshold
+
+
 def _entropy_ratio(entropy, denominator):
     """Sign-safe entropy ratio (SURVEY.md §4.5; dense_tracker.entropy_ratio).
 
@@ -104,6 +117,10 @@ def validate_candidates(
         average; the TrackingResultEvaluationVoter denominator).
       new_pyramid: the new keyframe's pyramid.
       Ks: per-level intrinsics.
+
+    Voters applied (reference dvo_slam/src/constraints/*): NaN result,
+    cross-validation (T_fwd o T_bwd ~ I), entropy ratio (coarse + fine),
+    constraint ratio, and the odometry-constraint voter (_odometry_vote).
     """
     if not candidates:
         return []
@@ -150,6 +167,8 @@ def validate_candidates(
                 continue
             if float(fwd_vr[k]) < slam_cfg.min_constraint_ratio:
                 continue  # ConstraintRatioVoter
+            if not _odometry_vote(T_f, c.T_init, slam_cfg):
+                continue  # OdometryConstraintVoter
             survivors.append((k, c, T_f))
 
         if not survivors:

@@ -10,6 +10,12 @@ NaN handling: invalid depth is NaN; any NaN corner propagates into the sample
 (0-weight corners included, since 0*NaN=NaN), so validity is simply
 isfinite(sample) — stricter than, but consistent with, the reference's
 NaN-aware sampling.
+
+ROLE: GOLDEN MODEL, not the production path. Production sampling lives in
+ops/linearize._sample_gather (fused into the linearization) and
+ops/pallas/sampler.py (the MXU kernel); this standalone version is the
+oracle tests/test_interp_pyramid.py and tests/test_pallas_sampler.py
+compare those against. Change them together.
 """
 
 from __future__ import annotations

@@ -14,6 +14,12 @@ computeResidualsAndValidFlagsSse) — the math of SURVEY.md §4.1–4.2:
 
 Everything operates on fixed-shape flattened per-level arrays with validity
 masks (SURVEY.md §8.1: selection is a mask, not compaction).
+
+ROLE: GOLDEN MODEL, not the production path. The tracker's hot loop uses
+the fused channel-major formulation in ops/linearize.py (same math, laid
+out for the MXU); this modular version exists as the readable oracle that
+tests/test_jacobian.py checks against jax.grad numerics and against
+linearize's fused output. Change the two together.
 """
 
 from __future__ import annotations

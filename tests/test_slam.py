@@ -146,6 +146,20 @@ def test_reset_restarts_tracking():
     np.testing.assert_allclose(traj[0.1], anchor, atol=1e-9)
 
 
+def test_odometry_constraint_voter():
+    """A measured constraint far from its graph-predicted initialization
+    must be rejected (self-similarity false-positive guard); a nearby one
+    passes."""
+    from dvo_slam_tpu.models.constraints import _odometry_vote
+    from dvo_slam_tpu.utils import se3_np
+
+    T_init = se3_np.exp(np.array([0.1, 0.0, 0.05, 0.02, 0.0, 0.01]))
+    near = se3_np.exp(np.array([0.02, -0.01, 0.0, 0.0, 0.01, 0.0])) @ T_init
+    far = se3_np.exp(np.array([1.5, 0.5, 0.0, 0.3, 0.0, 0.0])) @ T_init
+    assert _odometry_vote(near, T_init, SLAM)
+    assert not _odometry_vote(far, T_init, SLAM)
+
+
 def test_capacity_growth_and_eviction():
     """Sequences longer than the initial padded capacities must keep
     running (the reference runs indefinitely): vertex/edge capacity doubles
