@@ -107,6 +107,25 @@ def main(argv=None):
     _add_tracker_args(p)
     _add_slam_args(p)
 
+    p = sub.add_parser(
+        "live",
+        help="streaming SLAM/odometry node over a socket (dvo_ros "
+             "camera_keyframe_tracker / camera_tracker equivalent)",
+    )
+    p.add_argument("--tcp", type=int, default=None, help="TCP port to listen on")
+    p.add_argument("--unix", default=None, help="unix socket path to listen on")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--mode", default="slam",
+                   choices=["slam", "keyframe", "odometry"])
+    p.add_argument("--fr", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--intrinsics", type=float, nargs=4, default=None,
+                   metavar=("FX", "FY", "CX", "CY"))
+    p.add_argument("--covariance", action="store_true",
+                   help="include per-frame 6x6 covariance in pose messages")
+    p.add_argument("--max-sessions", type=int, default=None)
+    _add_tracker_args(p)
+    _add_slam_args(p)
+
     p = sub.add_parser("evaluate")
     p.add_argument("estimated", help="TUM-format trajectory file")
     p.add_argument("groundtruth", help="TUM-format groundtruth file")
@@ -135,6 +154,25 @@ def main(argv=None):
 
     tracker_cfg = _tracker_cfg(args)
     slam_cfg = _slam_cfg(args)
+
+    if args.command == "live":
+        from dvo_slam_tpu import node
+        from dvo_slam_tpu.ops import camera
+
+        if args.intrinsics is not None:
+            K = tuple(args.intrinsics)
+        else:
+            K = {1: camera.TUM_FR1, 2: camera.TUM_FR2,
+                 3: camera.TUM_FR3}[args.fr]
+        if args.unix:
+            address, unix = args.unix, True
+        else:
+            address, unix = (args.host, args.tcp or 7447), False
+        print(f"listening on {address} mode={args.mode}", file=sys.stderr)
+        node.serve(address, K, tracker_cfg, slam_cfg, mode=args.mode,
+                   with_covariance=args.covariance, unix=unix,
+                   max_sessions=args.max_sessions)
+        return 0
 
     if args.command == "synthetic":
         res = benchmark.run_synthetic(
