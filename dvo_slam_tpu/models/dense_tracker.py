@@ -304,8 +304,11 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
     if cfg.sampler_backend == "pallas":
         from dvo_slam_tpu.ops.pallas import sampler as pallas_sampler
 
+        # bf16 slab storage halves the window DMA traffic and is lossless
+        # at DEFAULT matmul precision (see slab_to_cmajor).
+        dt = jnp.bfloat16 if cfg.pallas_precision == "default" else None
         for lvl in levels:
-            cmajors[lvl] = pallas_sampler.slab_to_cmajor(cur_pyr[lvl])
+            cmajors[lvl] = pallas_sampler.slab_to_cmajor(cur_pyr[lvl], dtype=dt)
 
     fin = None
     per_iter = []

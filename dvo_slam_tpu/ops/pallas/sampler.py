@@ -83,7 +83,10 @@ def _sample_kernel(oy_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref, out_ref,
     x0 = x0_ref[0]  # (1, P)
     fx = fx_ref[0]
     m = jax.lax.broadcasted_iota(jnp.int32, (Wp, P), 0)
-    Cw = jnp.where(m == x0, 1.0 - fx, jnp.where(m == x0 + 1, fx, 0.0))  # (Wp, P)
+    # Column one-hot in the slab's dtype (bf16 slabs: the MXU quantizes
+    # DEFAULT-precision inputs to bf16 anyway, so this loses nothing).
+    Cw = jnp.where(m == x0, 1.0 - fx, jnp.where(m == x0 + 1, fx, 0.0)
+                   ).astype(slab_ref.dtype)  # (Wp, P)
 
     y0l = y0_ref[0] - oy  # (1, P) int32, window-local
     ok = (y0l >= 0) & (y0l <= Hw - 2)
@@ -190,7 +193,7 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         out_specs=pl.BlockSpec((OUT_CHANNELS, P), lambda i, oy: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((C * Hw, Wp), jnp.float32),
+            pltpu.VMEM((C * Hw, Wp), slab_cmajor.dtype),
             pltpu.SemaphoreType.DMA((C,)),
         ],
     )
@@ -215,8 +218,13 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     return out[:channels], valid
 
 
-def slab_to_cmajor(slab):
+def slab_to_cmajor(slab, dtype=None):
     """(C, H, W) -> ((C+1)*Hpad, Wp) channel-blocked kernel layout.
+
+    dtype: optional storage dtype. bfloat16 halves the per-band window DMA
+    traffic and is LOSSLESS relative to DEFAULT-precision sampling (the
+    MXU quantizes its inputs to bf16 there regardless) — use it whenever
+    pallas_precision == "default"; keep f32 for "highest".
 
     Once per frame/level (a pad + reshape — the slab is already
     channel-major): channel c occupies rows [c*Hpad, c*Hpad + H) with
@@ -240,4 +248,5 @@ def slab_to_cmajor(slab):
     Hpad = _round_up(H, 8)
     Wp = _round_up(W, 128)
     chan = jnp.pad(slab, ((0, 0), (0, Hpad - H), (0, Wp - W)))
-    return chan.reshape((C + 1) * Hpad, Wp)
+    out = chan.reshape((C + 1) * Hpad, Wp)
+    return out.astype(dtype) if dtype is not None else out
