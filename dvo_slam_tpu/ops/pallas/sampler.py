@@ -188,7 +188,7 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda i, oy: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # slab: compiler-placed
+            pl.BlockSpec(memory_space=pl.ANY),  # slab: compiler-placed
         ],
         out_specs=pl.BlockSpec((OUT_CHANNELS, P), lambda i, oy: (0, i),
                                memory_space=pltpu.VMEM),
