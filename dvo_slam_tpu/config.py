@@ -107,12 +107,14 @@ class TrackerConfig:
     pallas_rows_per_tile: int = 8
     # Window margin in rows. Sampling cost scales with the window height
     # (Hw = rows_per_tile + 2*margin + alignment slack): measured 640x480
-    # odometry fps 700 / 773 / 815 at margin 16 / 8 / 4 (v5e). 8 keeps
-    # >= +-12 rows of residual-motion slack per band after the mean-row
-    # centering — comfortably above fine-level residuals once the coarse
-    # levels have aligned; drop to 4 for maximum throughput or raise for
-    # unusually violent motion.
-    pallas_margin: int = 8
+    # odometry fps 700 / 773 / 815 at margin 16 / 8 / 4 (v5e). Margin 4
+    # still leaves +-12 rows of residual-motion slack per band after the
+    # mean-row centering (Hw = 32) — above fine-level residuals once the
+    # coarse levels have aligned, and verified on the heavy-noise accuracy
+    # harness (equal ATE and loop-closure acceptance vs margin 8/16).
+    # Raise for unusually violent motion; margin 2 starts masking real
+    # points (measured ATE degradation).
+    pallas_margin: int = 4
     # MXU precision of the one-hot sampling matmul: "default" (single bf16
     # pass; sampling quantization ~2^-9 relative ~ Kinect depth noise at
     # 2 m, absorbed by the Sigma estimate) or "highest" (6-pass, exact to
