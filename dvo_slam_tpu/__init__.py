@@ -32,6 +32,21 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 from dvo_slam_tpu.config import TrackerConfig, SlamConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["TrackerConfig", "SlamConfig", "__version__"]
+__all__ = ["TrackerConfig", "SlamConfig", "KeyframeSlam", "OdometryTracker",
+           "__version__"]
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing the model stack — and
+    # compiling nothing — until actually used).
+    if name == "KeyframeSlam":
+        from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+
+        return KeyframeSlam
+    if name == "OdometryTracker":
+        from dvo_slam_tpu.models.odometry import OdometryTracker
+
+        return OdometryTracker
+    raise AttributeError(name)

@@ -17,7 +17,11 @@ Wire protocol (newline-delimited JSON headers, raw payloads):
   client -> server, control:
       {"cmd": "force_keyframe"}\n | {"cmd": "reset"}\n |
       {"cmd": "finish"}\n  (server replies with the full trajectory and
-                           closes) | {"cmd": "trajectory"}\n
+                           closes) | {"cmd": "trajectory"}\n |
+      {"cmd": "configure", "tracker": {<TrackerConfig fields>}}\n
+          (the dynamic_reconfigure equivalent: live-retune tracker knobs;
+           pyramid geometry fields are rejected mid-run — replies with the
+           resulting config or an error)
   server -> client, per frame (the PoseWithCovarianceStamped equivalent;
   also THE feed a live visualizer consumes — the rviz stand-in):
       {"t": ..., "pose": [16 floats, row-major T_world_cam],
@@ -108,6 +112,37 @@ class SlamNode:
             )
         return msg
 
+    def reconfigure(self, tracker_fields: dict) -> dict:
+        """Live-retune tracker knobs (reference dynamic_reconfigure /
+        CameraDenseTracker.cfg): rebuilds the static TrackerConfig, which
+        recompiles on the next frame — the same semantics as the
+        reference rebuilding its trackers on a reconfigure callback.
+        Pyramid geometry cannot change mid-run (stored keyframe pyramids
+        were built with it)."""
+        import dataclasses
+
+        frozen = {"num_levels", "first_level", "last_level"}
+        bad = frozen & set(tracker_fields)
+        if bad:
+            return {"error": f"cannot change {sorted(bad)} mid-run"}
+        try:
+            if self.mode == "odometry":
+                new = dataclasses.replace(self.engine.cfg, **tracker_fields)
+                self.engine.cfg = new
+            else:
+                new = dataclasses.replace(self.engine.tracker_cfg,
+                                          **tracker_fields)
+                self.engine.tracker_cfg = new
+                self.engine.fine_cfg = new
+                self.engine.coarse_cfg = dataclasses.replace(
+                    self.engine.coarse_cfg,
+                    **{k: v for k, v in tracker_fields.items()
+                       if k != "max_iterations"},
+                )
+        except (TypeError, ValueError) as e:
+            return {"error": str(e)}
+        return {"tracker": dataclasses.asdict(new)}
+
     def handle_cmd(self, cmd: str) -> Optional[dict]:
         if cmd == "force_keyframe" and self.mode != "odometry":
             self.engine.force_keyframe()
@@ -139,7 +174,10 @@ def serve_connection(sock: socket.socket, node: SlamNode) -> None:
             return
         header = json.loads(line)
         if "cmd" in header:
-            reply = node.handle_cmd(header["cmd"])
+            if header["cmd"] == "configure":
+                reply = node.reconfigure(header.get("tracker", {}))
+            else:
+                reply = node.handle_cmd(header["cmd"])
             if reply is not None:
                 sock.sendall((json.dumps(reply) + "\n").encode())
             if header["cmd"] == "finish":
@@ -209,6 +247,11 @@ class StreamClient:
         if expect_reply:
             return json.loads(self._rfile.readline())
         return None
+
+    def configure(self, **tracker_fields) -> dict:
+        msg = json.dumps({"cmd": "configure", "tracker": tracker_fields})
+        self.sock.sendall((msg + "\n").encode())
+        return json.loads(self._rfile.readline())
 
     def finish(self) -> dict:
         return self.command("finish", expect_reply=True)

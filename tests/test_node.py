@@ -75,6 +75,31 @@ def test_live_slam_session(tmp_path):
     assert evaluate.ate_rmse(traj, poses) < 0.005
 
 
+def test_live_reconfigure(tmp_path):
+    """dynamic_reconfigure equivalent: tracker knobs retune mid-stream;
+    pyramid geometry is rejected."""
+    sock_path = str(tmp_path / "cfg.sock")
+    thread = _serve_unix(sock_path, "slam")
+    client = _wait_socket(sock_path)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(6, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    for i in range(3):
+        client.send_frame(i / 30.0, *frames[i])
+    reply = client.configure(max_iterations=12, huber_k=2.0)
+    assert reply["tracker"]["max_iterations"] == 12
+    assert reply["tracker"]["huber_k"] == 2.0
+    bad = client.configure(num_levels=3)
+    assert "error" in bad
+    for i in range(3, 6):
+        msg = client.send_frame(i / 30.0, *frames[i])
+        assert len(msg["pose"]) == 16
+    final = client.finish()
+    assert len(final["trajectory"]) == 6
+    client.close()
+    thread.join(timeout=30)
+
+
 def test_live_odometry_covariance(tmp_path):
     sock_path = str(tmp_path / "odo.sock")
     thread = _serve_unix(sock_path, "odometry", with_covariance=True)

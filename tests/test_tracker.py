@@ -254,3 +254,35 @@ def test_stats_disabled():
     ref, cur, _ = _render_pair(np.zeros(6))
     res = _track(ref, cur, cfg)
     assert res.stats is None
+
+
+def test_large_wrong_initial_estimate_contained():
+    """A badly wrong initialization may converge inaccurately but must be
+    CONTAINED: finite result, usable is_nan, no crash (verify-skill probe)."""
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=20)
+    ref, cur, _ = _render_pair(np.array([0.01, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    T_bad = se3_np.exp(np.array([0.5, -0.4, 0.8, 0.4, -0.5, 0.6]))
+    res = _track(ref, cur, cfg, T_init=T_bad)
+    assert np.isfinite(np.asarray(res.transformation)).all()
+    assert not bool(res.is_nan())
+    assert np.isfinite(float(res.error))
+
+
+def test_pure_noise_current_frame_degrades_gracefully():
+    """Pure-noise current frame: finite result, degraded quality signals
+    (this is the keyframe-switch trigger path; verify-skill probe)."""
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=20)
+    ref, cur_good, _ = _render_pair(np.zeros(6))
+    rng = np.random.default_rng(0)
+    noise_i = rng.uniform(0, 255, cur_good[0].shape).astype(np.float32)
+    noise_z = rng.uniform(0.5, 4.0, cur_good[1].shape).astype(np.float32)
+    res_noise = _track(ref, (noise_i, noise_z), cfg)
+    res_good = _track(ref, cur_good, cfg)
+    assert np.isfinite(np.asarray(res_noise.transformation)).all()
+    assert not bool(res_noise.is_nan())
+    # Quality must be visibly worse than a matching frame: the entropy
+    # rises (less information) and/or the error explodes.
+    assert float(res_noise.error) > float(res_good.error)
+    assert float(res_noise.entropy) > float(res_good.entropy)
