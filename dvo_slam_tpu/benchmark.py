@@ -49,6 +49,8 @@ def run_sequence(
     trajectory_out: Optional[str] = None,
     warmup: int = 1,
     covariance_out: Optional[str] = None,
+    checkpoint_out: Optional[str] = None,
+    resume: Optional[str] = None,
 ) -> BenchmarkResult:
     """Run SLAM/odometry over an iterable of (timestamp, intensity, depth).
 
@@ -64,6 +66,10 @@ def run_sequence(
     covariance_out: odometry mode only — write per-frame 6x6 pose
     covariances (Information^{-1}; the reference publishes these as
     PoseWithCovarianceStamped) as 'timestamp v00 .. v55' lines.
+
+    checkpoint_out / resume: slam/keyframe modes — save the full SLAM
+    state (.npz) after the frame loop (pre-finish, i.e. the resumable
+    streaming state) / start from a saved state instead of fresh.
     """
     frames = list(frame_iter)
     if not frames:
@@ -96,10 +102,18 @@ def run_sequence(
                     vals = " ".join(f"{v:.9e}" for v in cov.reshape(-1))
                     fh.write(f"{ts:.6f} {vals}\n")
     else:
-        slam = KeyframeSlam(
-            K, tracker_cfg, slam_cfg, enable_loop_closure=(mode == "slam")
-        )
-        slam.init(t0_pose)
+        if resume:
+            from dvo_slam_tpu.utils import checkpoint
+
+            slam = checkpoint.load_slam(
+                resume, K, tracker_cfg, slam_cfg,
+                enable_loop_closure=(mode == "slam"),
+            )
+        else:
+            slam = KeyframeSlam(
+                K, tracker_cfg, slam_cfg, enable_loop_closure=(mode == "slam")
+            )
+            slam.init(t0_pose)
         # Warm EVERY compile unit the timed loop can hit — dual tracking,
         # the local-map and pose-graph solves (keyframe switch), the
         # coarse+fine loop-closure validators, and the final optimization
@@ -129,6 +143,10 @@ def run_sequence(
         for ts, intensity, depth in frames:
             slam.update(intensity, depth, ts)
         elapsed = time.perf_counter() - start
+        if checkpoint_out:
+            from dvo_slam_tpu.utils import checkpoint
+
+            checkpoint.save_slam(checkpoint_out, slam)
         traj = slam.finish()
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
@@ -168,6 +186,8 @@ def run_tum_dataset(
     max_frames: Optional[int] = None,
     intrinsics=None,
     covariance_out: Optional[str] = None,
+    checkpoint_out: Optional[str] = None,
+    resume: Optional[str] = None,
 ) -> BenchmarkResult:
     """Benchmark a TUM RGB-D directory (reference benchmark_slam main)."""
     from dvo_slam_tpu.ops import camera
@@ -193,6 +213,7 @@ def run_tum_dataset(
         frame_iter(), K, tracker_cfg, slam_cfg,
         groundtruth=gt, mode=mode, trajectory_out=trajectory_out,
         covariance_out=covariance_out,
+        checkpoint_out=checkpoint_out, resume=resume,
     )
 
 

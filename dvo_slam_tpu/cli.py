@@ -93,6 +93,12 @@ def main(argv=None):
                 help="write per-frame 6x6 pose covariances "
                      "(Information^{-1}; reference PoseWithCovarianceStamped)",
             )
+        else:
+            p.add_argument("--checkpoint-out", default=None,
+                           help="save full SLAM state (.npz) after the run")
+            p.add_argument("--resume", default=None,
+                           help="resume from a checkpoint (.npz) and "
+                                "continue over the dataset frames")
         p.set_defaults(mode=mode)
         _add_tracker_args(p)
         _add_slam_args(p)
@@ -189,6 +195,8 @@ def main(argv=None):
             trajectory_out=args.trajectory_out, max_frames=args.max_frames,
             intrinsics=K,
             covariance_out=getattr(args, "covariance_out", None),
+            checkpoint_out=getattr(args, "checkpoint_out", None),
+            resume=getattr(args, "resume", None),
         )
     print(res.to_json())
     return 0

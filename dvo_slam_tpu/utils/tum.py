@@ -199,10 +199,22 @@ class TumDataset:
                 yield self.pairs[idx][0], intensity, depth
 
     def groundtruth_pose(self, timestamp, max_difference=0.05) -> Optional[np.ndarray]:
-        """Closest groundtruth pose to `timestamp` (reference groundtruth.h)."""
+        """Closest groundtruth pose to `timestamp` (reference groundtruth.h).
+
+        Bisects the (time-sorted) groundtruth — O(log M) per query instead
+        of a linear scan over the ~10k-entry mocap stream."""
         if not self.groundtruth:
             return None
-        best = min(self.groundtruth, key=lambda e: abs(e[0] - timestamp))
+        import bisect
+
+        if not hasattr(self, "_gt_stamps"):
+            self._gt_sorted = sorted(self.groundtruth, key=lambda e: e[0])
+            self._gt_stamps = [e[0] for e in self._gt_sorted]
+        i = bisect.bisect_left(self._gt_stamps, timestamp)
+        best = min(
+            (e for e in self._gt_sorted[max(0, i - 1): i + 1]),
+            key=lambda e: abs(e[0] - timestamp),
+        )
         if abs(best[0] - timestamp) > max_difference:
             return None
         return best[1]

@@ -139,6 +139,39 @@ def test_odometry_covariance_export(tmp_path):
     assert (np.linalg.eigvalsh(cov) > 0).all()  # a real covariance
 
 
+def test_benchmark_checkpoint_resume(tmp_path):
+    """benchmark --checkpoint-out / --resume: a split run must reproduce
+    the uninterrupted run's optimized trajectory."""
+    import numpy as np
+
+    from dvo_slam_tpu import benchmark
+    from dvo_slam_tpu.utils import synthetic, tum
+
+    K = (W * 0.8, W * 0.8, (W - 1) / 2.0, (H - 1) / 2.0)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(8, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    seq = [(i / 30.0, f[0], f[1]) for i, f in enumerate(frames)]
+
+    full_out = str(tmp_path / "full.txt")
+    benchmark.run_sequence(iter(seq), K, TRACKER, SLAM, mode="keyframe",
+                           warmup=0, trajectory_out=full_out)
+
+    ck = str(tmp_path / "state.npz")
+    benchmark.run_sequence(iter(seq[:4]), K, TRACKER, SLAM, mode="keyframe",
+                           warmup=0, checkpoint_out=ck)
+    resumed_out = str(tmp_path / "resumed.txt")
+    benchmark.run_sequence(iter(seq[4:]), K, TRACKER, SLAM, mode="keyframe",
+                           warmup=0, resume=ck, trajectory_out=resumed_out)
+
+    full = tum.read_trajectory(full_out)
+    resumed = tum.read_trajectory(resumed_out)
+    assert len(full) == len(resumed) == len(seq)
+    for (ta, Ta), (tb, Tb) in zip(full, resumed):
+        assert ta == tb
+        np.testing.assert_allclose(Ta, Tb, atol=1e-4)
+
+
 def test_cli_evaluate(tmp_path):
     from dvo_slam_tpu.utils import se3_np, tum
 
