@@ -24,6 +24,9 @@ Modes:
   slam               — full KeyframeSlam.update loop (includes per-frame
                        host round trips and keyframe switches; on remoted
                        devices this is dominated by tunnel latency)
+  kfscan             — device-resident keyframe odometry (dual alignment +
+                       entropy-ratio switching inside lax.scan): the SLAM
+                       front-end with ZERO per-frame host round trips
 
 Run: python bench.py [--mode M] [--frames N] [--width W --height H]
 """
@@ -52,7 +55,7 @@ def _render_ring(W, H, K_t, n=8, radius=0.06):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="odometry",
-                    choices=["odometry", "cold", "dual", "slam"])
+                    choices=["odometry", "cold", "dual", "slam", "kfscan"])
     ap.add_argument("--frames", type=int, default=400)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
@@ -86,6 +89,8 @@ def main():
 
     if args.mode == "slam":
         fps, note = _bench_slam(args, cfg, K_t, frames)
+    elif args.mode == "kfscan":
+        fps, note = _bench_kfscan(args, cfg, K_t, ring, jax, jnp)
     else:
         fps, note = _bench_tracking(args, cfg, Ks, ring, jax, jnp,
                                     dense_tracker, pyramid)
@@ -161,6 +166,57 @@ def _bench_tracking(args, cfg, Ks, ring, jax, jnp, dense_tracker, pyramid):
             f"mean_iters_per_level={np.round(mean_iters, 2).tolist()} "
             f"ms_per_frame={1000 * elapsed / args.frames:.2f}")
     return args.frames / elapsed, note
+
+
+def _bench_kfscan(args, cfg, K_t, ring, jax, jnp):
+    """Device-resident keyframe odometry throughput (one dispatch for the
+    whole sequence; dual alignment + entropy switching inside the scan)."""
+    from dvo_slam_tpu.config import SlamConfig
+    from dvo_slam_tpu.models import keyframe_scan
+    from dvo_slam_tpu.ops import camera
+
+    n = min(args.frames, 64)  # sequence lives in HBM: 64 frames ~ 150 MB
+    reps = min(4, max(1, args.frames // n))
+    # Pre-materialized DISTINCT sequences per rep (ring-rotated): repeated
+    # identical dispatches get elided/deduplicated by the runtime and read
+    # arbitrarily fast; per-rep jnp.roll dispatches distort timing instead.
+    seqs = []
+    for r in range(reps + 1):
+        seqs.append((
+            jnp.stack([ring[(k + r) % len(ring)][0] for k in range(n)]),
+            jnp.stack([ring[(k + r) % len(ring)][1] for k in range(n)]),
+        ))
+    K = camera.intrinsics(*K_t)
+    slam_cfg = SlamConfig(local_map_optimize=False)
+    # Realistic keyframe cadence: the synthetic ring never degrades
+    # tracking, so without switches every frame aligns against an
+    # ever-more-distant keyframe at max iterations.
+    force = jnp.asarray(np.arange(n) % 8 == 0)
+
+    def run(r):
+        outs = keyframe_scan.track_keyframe_sequence(
+            seqs[r][0], seqs[r][1], K, cfg, slam_cfg, force_keyframe=force,
+        )
+        # Force a real value fetch: on remoted devices block_until_ready
+        # does not reliably drain a whole-sequence dispatch — only reading
+        # a result does.
+        np.asarray(outs["rel_pose"])
+        return outs
+
+    outs = run(0)  # compile
+    t0 = time.perf_counter()
+    for r in range(1, reps + 1):
+        outs = run(r)
+    elapsed = time.perf_counter() - t0
+    frames_done = reps * (n - 1)
+    switches = int(np.asarray(outs["switch"]).sum())
+    mean_iters = np.asarray(outs["iterations"]).mean(axis=0).mean(axis=0)
+    note = (f"elapsed={elapsed:.3f}s seq={n} reps={reps} "
+            f"switches_per_seq={switches} "
+            f"mean_iters_per_level={np.round(mean_iters, 2).tolist()} "
+            f"ms_per_frame={1000 * elapsed / frames_done:.2f} "
+            "(zero per-frame host round trips)")
+    return frames_done / elapsed, note
 
 
 def _bench_slam(args, cfg, K_t, frames):

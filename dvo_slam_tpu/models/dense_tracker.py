@@ -83,11 +83,13 @@ class TrackResult(NamedTuple):
     stats: Optional[TrackStats] = None  # cfg.collect_stats
 
     def is_nan(self):
-        """Reference Result::isNaN — NaN guard used by acceptance voters."""
-        return ~(
-            jnp.isfinite(self.transformation).all()
-            & jnp.isfinite(self.log_likelihood)
-        )
+        """Reference Result::isNaN — NaN guard used by acceptance voters.
+
+        Reduces only the matrix axes, so on a batched result (vmap leading
+        dim) each row gets its own flag — a full reduction would let one
+        diverged candidate poison its whole validation batch."""
+        t_ok = jnp.isfinite(self.transformation).all(axis=-1).all(axis=-1)
+        return ~(t_ok & jnp.isfinite(self.log_likelihood))
 
 
 def pose_entropy(information):

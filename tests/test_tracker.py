@@ -286,3 +286,28 @@ def test_pure_noise_current_frame_degrades_gracefully():
     # rises (less information) and/or the error explodes.
     assert float(res_noise.error) > float(res_good.error)
     assert float(res_noise.entropy) > float(res_good.entropy)
+
+
+def test_batched_is_nan_is_per_row():
+    """One diverged/garbage row in a validation batch must not flag the
+    other rows as NaN (it would reject every candidate in the chunk)."""
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=10)
+    xi = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.005])
+    ref, cur, T_true = _render_pair(xi)
+    Kd = camera.intrinsics(*K_TUPLE)
+    Ks = camera.pyramid_intrinsics(Kd, cfg.num_levels)
+    good = pyramid.build_pyramid(jnp.asarray(ref[0]), jnp.asarray(ref[1]), 2)
+    # Garbage reference: all-NaN depth => zero selected points.
+    bad = pyramid.build_pyramid(
+        jnp.asarray(ref[0]), jnp.full(ref[1].shape, jnp.nan), 2
+    )
+    refs = tuple(jnp.stack([g, b]) for g, b in zip(good, bad))
+    cur_pyr = pyramid.build_pyramid(jnp.asarray(cur[0]), jnp.asarray(cur[1]), 2)
+    curs = tuple(jnp.stack([l, l]) for l in cur_pyr)
+    T0 = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    res = dense_tracker.track_pairs_batched(refs, curs, Ks, T0, cfg)
+    nans = np.asarray(res.is_nan())
+    assert nans.shape == (2,)
+    assert not nans[0], "healthy row flagged NaN by its batch neighbour"
+    assert _pose_error(res.transformation[0], T_true) < 2e-3
