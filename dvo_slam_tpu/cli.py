@@ -129,8 +129,23 @@ def main(argv=None):
     p.add_argument("--covariance", action="store_true",
                    help="include per-frame 6x6 covariance in pose messages")
     p.add_argument("--max-sessions", type=int, default=None)
+    p.add_argument("--viz-out", default=None,
+                   help="drive a live-updating visualizer in-process "
+                        "(trajectory.png/.txt re-rendered as frames arrive)")
     _add_tracker_args(p)
     _add_slam_args(p)
+
+    p = sub.add_parser(
+        "viz",
+        help="live remote trajectory viewer (rviz equivalent): subscribe "
+             "to a running `live` node's pose feed",
+    )
+    p.add_argument("--tcp", type=int, default=None, help="TCP port of the node")
+    p.add_argument("--unix", default=None, help="unix socket path of the node")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--snapshot-every", type=int, default=25)
+    p.add_argument("--max-poses", type=int, default=None)
 
     p = sub.add_parser("evaluate")
     p.add_argument("estimated", help="TUM-format trajectory file")
@@ -138,6 +153,20 @@ def main(argv=None):
     p.add_argument("--rpe-delta", type=int, default=1)
 
     args = ap.parse_args(argv)
+
+    if args.command == "viz":
+        from dvo_slam_tpu import node
+        from dvo_slam_tpu.utils.visualization import LiveTrajectoryVisualizer
+
+        viz = LiveTrajectoryVisualizer(args.out,
+                                       snapshot_every=args.snapshot_every)
+        if args.unix:
+            address, unix = args.unix, True
+        else:
+            address, unix = (args.host, args.tcp or 7447), False
+        n = node.view(address, viz, unix=unix, max_poses=args.max_poses)
+        print(f"viewed {n} poses -> {args.out}", file=sys.stderr)
+        return 0
 
     if args.command == "evaluate":
         import numpy as np
@@ -174,10 +203,17 @@ def main(argv=None):
             address, unix = args.unix, True
         else:
             address, unix = (args.host, args.tcp or 7447), False
+        viz = None
+        if args.viz_out:
+            from dvo_slam_tpu.utils.visualization import (
+                LiveTrajectoryVisualizer,
+            )
+
+            viz = LiveTrajectoryVisualizer(args.viz_out)
         print(f"listening on {address} mode={args.mode}", file=sys.stderr)
         node.serve(address, K, tracker_cfg, slam_cfg, mode=args.mode,
                    with_covariance=args.covariance, unix=unix,
-                   max_sessions=args.max_sessions)
+                   max_sessions=args.max_sessions, visualizer=viz)
         return 0
 
     if args.command == "synthetic":

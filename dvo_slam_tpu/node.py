@@ -29,6 +29,14 @@ Wire protocol (newline-delimited JSON headers, raw payloads):
   server -> client, on finish/trajectory:
       {"trajectory": [{"t": ..., "pose": [...]}, ...]}\n
 
+Pub/sub (the `rgbd/pose` topic equivalent): a connection whose FIRST
+message is {"cmd": "subscribe"}\n becomes a subscriber — it receives a
+copy of every per-frame pose message from every camera session until it
+disconnects. `view()` + `LiveTrajectoryVisualizer` make a live remote
+trajectory viewer out of this feed (the rviz stand-in, SURVEY.md R3);
+`serve(visualizer=...)` attaches one in-process instead (the reference
+node's own marker publishing).
+
 Everything device-side is the standard pipeline (KeyframeSlam /
 OdometryTracker); this file is transport only.
 """
@@ -67,17 +75,61 @@ def _recv_line(sock: socket.socket) -> bytes:
         buf.extend(b)
 
 
+class Broadcast:
+    """Thread-safe fan-out of pose messages to subscriber sockets
+    (the TCPROS publish side of the `rgbd/pose` topic)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._subs: list[socket.socket] = []
+
+    def add(self, sock: socket.socket) -> None:
+        with self._lock:
+            self._subs.append(sock)
+
+    def publish(self, msg: dict) -> None:
+        with self._lock:
+            if not self._subs:
+                return
+            data = (json.dumps(msg) + "\n").encode()
+            dead = []
+            for s in self._subs:
+                try:
+                    s.sendall(data)
+                except OSError:
+                    dead.append(s)
+            for s in dead:
+                self._subs.remove(s)
+
+    def close_all(self) -> None:
+        """Disconnect every subscriber (server shutdown): unblocks their
+        reads with EOF."""
+        with self._lock:
+            for s in self._subs:
+                try:
+                    s.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
+                    s.close()
+                except OSError:
+                    pass
+            self._subs.clear()
+
+
 class SlamNode:
     """Session state for one connected camera stream."""
 
     def __init__(self, K, tracker_cfg=None, slam_cfg=None, mode="slam",
-                 with_covariance=False, frame_logger=None):
+                 with_covariance=False, frame_logger=None, visualizer=None):
         from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 
         tracker_cfg = tracker_cfg or TrackerConfig()
         slam_cfg = slam_cfg or SlamConfig()
         self.mode = mode
         self.with_covariance = with_covariance
+        self.visualizer = visualizer
+        self._K = np.asarray(K, np.float64).reshape(-1)[:4]
         if mode == "odometry":
             from dvo_slam_tpu.models.odometry import OdometryTracker
 
@@ -110,6 +162,17 @@ class SlamNode:
             msg["covariance"] = (
                 self.engine.covariances[-1][1].reshape(-1).tolist()
             )
+        if self.visualizer is not None:
+            self.visualizer.add_pose(t, np.asarray(pose), is_kf)
+            if is_kf:
+                from dvo_slam_tpu.utils.visualization import (
+                    point_cloud_from_rgbd,
+                )
+
+                pts, colors = point_cloud_from_rgbd(
+                    intensity, depth, self._K, np.asarray(pose), stride=8
+                )
+                self.visualizer.add_point_cloud(pts, colors)
         return msg
 
     def reconfigure(self, tracker_fields: dict) -> dict:
@@ -157,6 +220,8 @@ class SlamNode:
                 traj = self.engine.finish()
             else:
                 traj = self.engine.trajectory()
+            if cmd == "finish" and self.visualizer is not None:
+                self.visualizer.finish()
             return {
                 "trajectory": [
                     {"t": t, "pose": np.asarray(T).reshape(-1).tolist()}
@@ -166,13 +231,18 @@ class SlamNode:
         return {"error": f"unknown/invalid command {cmd!r}"}
 
 
-def serve_connection(sock: socket.socket, node: SlamNode) -> None:
+def serve_connection(sock: socket.socket, node: SlamNode,
+                     broadcast: Optional[Broadcast] = None,
+                     first_header: Optional[dict] = None) -> None:
     """Run one camera session over an accepted socket until finish/EOF."""
     while True:
-        line = _recv_line(sock)
-        if not line:
-            return
-        header = json.loads(line)
+        if first_header is not None:
+            header, first_header = first_header, None
+        else:
+            line = _recv_line(sock)
+            if not line:
+                return
+            header = json.loads(line)
         if "cmd" in header:
             if header["cmd"] == "configure":
                 reply = node.reconfigure(header.get("tracker", {}))
@@ -192,29 +262,68 @@ def serve_connection(sock: socket.socket, node: SlamNode) -> None:
         ).reshape(h, w)
         msg = node.handle_frame(float(header["t"]), intensity, depth)
         sock.sendall((json.dumps(msg) + "\n").encode())
+        if broadcast is not None:
+            broadcast.publish(msg)
 
 
 def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
-          with_covariance=False, unix=False, max_sessions=None):
-    """Accept camera sessions forever (one SlamNode per connection).
+          with_covariance=False, unix=False, max_sessions=None,
+          visualizer=None):
+    """Accept camera sessions + subscribers (one SlamNode per camera).
 
     address: (host, port) for TCP or a filesystem path for unix=True.
-    max_sessions: stop after N sessions (tests / bounded runs).
+    max_sessions: stop after N completed CAMERA sessions (tests / bounded
+      runs); subscriber connections don't count.
+    visualizer: optional TrajectoryVisualizerInterface driven in-process
+      per frame (the reference node's own rviz publishing); remote viewers
+      use subscribe/`view()` instead.
     """
-    served = 0
+    broadcast = Broadcast()
+    done = threading.Semaphore(0)
 
     class Handler(socketserver.BaseRequestHandler):
         def handle(self):
-            node = SlamNode(K, tracker_cfg, slam_cfg, mode, with_covariance)
-            serve_connection(self.request, node)
+            line = _recv_line(self.request)
+            if not line:
+                return
+            header = json.loads(line)
+            if header.get("cmd") == "subscribe":
+                broadcast.add(self.request)
+                # Hold the connection open until the subscriber leaves
+                # (subscribers never send after subscribing).
+                try:
+                    while self.request.recv(1):
+                        pass
+                except OSError:
+                    pass
+                return
+            node = SlamNode(K, tracker_cfg, slam_cfg, mode,
+                            with_covariance, visualizer=visualizer)
+            try:
+                serve_connection(self.request, node, broadcast,
+                                 first_header=header)
+            finally:
+                done.release()
 
-    cls = (socketserver.UnixStreamServer if unix
-           else socketserver.TCPServer)
-    cls.allow_reuse_address = True
-    with cls(address, Handler) as server:
-        while max_sessions is None or served < max_sessions:
-            server.handle_request()
-            served += 1
+    base = (socketserver.UnixStreamServer if unix
+            else socketserver.TCPServer)
+
+    class Server(socketserver.ThreadingMixIn, base):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    with Server(address, Handler) as server:
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            if max_sessions is None:
+                thread.join()
+            else:
+                for _ in range(max_sessions):
+                    done.acquire()
+        finally:
+            server.shutdown()
+            broadcast.close_all()
 
 
 class StreamClient:
@@ -253,6 +362,19 @@ class StreamClient:
         self.sock.sendall((msg + "\n").encode())
         return json.loads(self._rfile.readline())
 
+    def subscribe(self):
+        """Turn this connection into a pose subscriber; yields per-frame
+        pose messages until the server closes the feed."""
+        self.sock.sendall(b'{"cmd": "subscribe"}\n')
+        while True:
+            try:
+                line = self._rfile.readline()
+            except OSError:
+                return
+            if not line:
+                return
+            yield json.loads(line)
+
     def finish(self) -> dict:
         return self.command("finish", expect_reply=True)
 
@@ -261,3 +383,26 @@ class StreamClient:
             self._rfile.close()
         finally:
             self.sock.close()
+
+
+def view(address, visualizer, unix=False, max_poses=None) -> int:
+    """Remote live trajectory viewer (the rviz stand-in): subscribe to a
+    running node and drive a visualizer from its pose feed. Returns the
+    number of poses consumed (feed closed or max_poses reached)."""
+    client = (StreamClient.connect_unix(address) if unix
+              else StreamClient.connect_tcp(*address))
+    seen = 0
+    try:
+        for msg in client.subscribe():
+            visualizer.add_pose(
+                float(msg["t"]),
+                np.asarray(msg["pose"], np.float64).reshape(4, 4),
+                bool(msg.get("keyframe", False)),
+            )
+            seen += 1
+            if max_poses is not None and seen >= max_poses:
+                break
+    finally:
+        client.close()
+        visualizer.finish()
+    return seen

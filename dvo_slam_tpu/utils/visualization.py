@@ -85,8 +85,7 @@ class FileTrajectoryVisualizer(TrajectoryVisualizerInterface):
 class MatplotlibTrajectoryVisualizer(FileTrajectoryVisualizer):
     """Additionally renders a 3D trajectory figure on finish()."""
 
-    def finish(self):
-        super().finish()
+    def _render(self):
         if not self.poses:
             return
         import matplotlib
@@ -105,6 +104,40 @@ class MatplotlibTrajectoryVisualizer(FileTrajectoryVisualizer):
         ax.set_xlabel("x [m]"), ax.set_ylabel("y [m]"), ax.set_zlabel("z [m]")
         fig.savefig(os.path.join(self.out_dir, "trajectory.png"), dpi=120)
         plt.close(fig)
+
+    def finish(self):
+        super().finish()
+        self._render()
+
+
+class LiveTrajectoryVisualizer(MatplotlibTrajectoryVisualizer):
+    """Incrementally-updating backend (the rviz stand-in, SURVEY.md R3).
+
+    The reference's RosCameraTrajectoryVisualizer republishes the growing
+    trajectory as rviz markers on every update
+    (dvo_ros/src/visualization/ros_camera_trajectory_visualizer.cpp); this
+    backend re-renders `trajectory.png` + rewrites `trajectory.txt` every
+    `snapshot_every` poses so an observer (or a file watcher / image
+    viewer) sees the live state of the run, headless."""
+
+    def __init__(self, out_dir: str, snapshot_every: int = 25):
+        super().__init__(out_dir)
+        self.snapshot_every = max(1, int(snapshot_every))
+
+    def add_pose(self, timestamp, T_wc, is_keyframe=False):
+        super().add_pose(timestamp, T_wc, is_keyframe)
+        if len(self.poses) % self.snapshot_every == 0:
+            self._snapshot()
+
+    def _snapshot(self):
+        from dvo_slam_tpu.utils import tum
+
+        tum.write_trajectory(
+            os.path.join(self.out_dir, "trajectory.txt"),
+            [t for t, _ in self.poses],
+            [T for _, T in self.poses],
+        )
+        self._render()
 
 
 def point_cloud_from_rgbd(intensity, depth, K, T_wc=np.eye(4), stride=4):

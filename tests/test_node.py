@@ -18,13 +18,13 @@ SLAM = SlamConfig(max_keyframes=32, max_edges=128, min_constraint_distance=3,
                   validation_batch=4)
 
 
-def _serve_unix(path, mode, with_covariance=False):
+def _serve_unix(path, mode, with_covariance=False, visualizer=None):
     t = threading.Thread(
         target=node.serve,
         args=(path, K),
         kwargs=dict(tracker_cfg=TRACKER, slam_cfg=SLAM, mode=mode,
                     with_covariance=with_covariance, unix=True,
-                    max_sessions=1),
+                    max_sessions=1, visualizer=visualizer),
         daemon=True,
     )
     t.start()
@@ -98,6 +98,60 @@ def test_live_reconfigure(tmp_path):
     assert len(final["trajectory"]) == 6
     client.close()
     thread.join(timeout=30)
+
+
+def test_live_subscriber_and_visualizer(tmp_path):
+    """Pub/sub + live viz (the rviz stand-in): a subscriber connection
+    receives every camera pose message; the remote viewer and the node's
+    in-process live visualizer both materialize the trajectory."""
+    import time
+
+    from dvo_slam_tpu.utils.visualization import LiveTrajectoryVisualizer
+
+    sock_path = str(tmp_path / "pub.sock")
+    server_viz = LiveTrajectoryVisualizer(str(tmp_path / "node_viz"),
+                                          snapshot_every=2)
+    thread = _serve_unix(sock_path, "slam", visualizer=server_viz)
+    _wait_socket(sock_path).close()  # wait for the listener
+
+    viewer_viz = LiveTrajectoryVisualizer(str(tmp_path / "viewer"),
+                                          snapshot_every=3)
+    viewer_out = {}
+    viewer = threading.Thread(
+        target=lambda: viewer_out.setdefault(
+            "n", node.view(sock_path, viewer_viz, unix=True)
+        ),
+        daemon=True,
+    )
+    viewer.start()
+    time.sleep(0.3)  # let the subscriber register before frames flow
+
+    client = _wait_socket(sock_path)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(8, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    sent = []
+    for i, (intensity, depth) in enumerate(frames):
+        msg = client.send_frame(i / 30.0, intensity, depth)
+        sent.append(np.asarray(msg["pose"]).reshape(4, 4))
+    client.finish()
+    client.close()
+    thread.join(timeout=30)
+    viewer.join(timeout=30)
+
+    # The subscriber saw the full per-frame feed, identical to the camera
+    # client's replies.
+    assert viewer_out["n"] == len(frames)
+    assert len(viewer_viz.poses) == len(frames)
+    for (_, T_sub), T_cam in zip(viewer_viz.poses, sent):
+        np.testing.assert_allclose(T_sub, T_cam, atol=1e-12)
+    # Both visualizers rendered live snapshots + final artifacts.
+    for d in ("node_viz", "viewer"):
+        assert (tmp_path / d / "trajectory.png").exists()
+        traj = (tmp_path / d / "trajectory.txt").read_text().strip()
+        assert len(traj.splitlines()) == len(frames)
+    # Keyframe clouds from the in-process visualizer (frame 0 is a keyframe).
+    assert (tmp_path / "node_viz" / "cloud_0000.ply").exists()
 
 
 def test_live_odometry_covariance(tmp_path):
