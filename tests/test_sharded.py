@@ -92,6 +92,45 @@ def test_batch_sequences_sharded(mesh):
     assert out_sharded["rel_poses"].shape == (B, 3, 4, 4)
 
 
+def test_keyframe_sequences_sharded(mesh):
+    """The keyframe FRONT-END fleet (dual alignment + entropy switching in
+    one scan per sequence) sharded over the mesh == unsharded, and the
+    forced keyframe cadence survives the sharding."""
+    from dvo_slam_tpu.config import SlamConfig
+    from dvo_slam_tpu.parallel import batch_slam
+
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=8)
+    slam_cfg = SlamConfig(local_map_optimize=False)
+    K_t = (32.0, 32.0, 31.5, 23.5)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(5, radius=0.03)
+    frames = synthetic.render_sequence(scene, np.asarray(K_t), 64, 48, poses)
+    seq_i = jnp.stack([jnp.asarray(f[0]) for f in frames])
+    seq_z = jnp.stack([jnp.asarray(f[1]) for f in frames])
+    B = 8
+    batch_i = jnp.broadcast_to(seq_i, (B,) + seq_i.shape)
+    batch_z = jnp.broadcast_to(seq_z, (B,) + seq_z.shape)
+    force = jnp.broadcast_to(jnp.asarray([False, False, True, False, False]),
+                             (B, 5))
+    K = camera.intrinsics(*K_t)
+
+    out_sh = batch_slam.keyframe_sequences_sharded(
+        mesh, batch_i, batch_z, K, cfg, slam_cfg, force_keyframe=force
+    )
+    out_local = batch_slam.keyframe_sequences_batched(
+        batch_i, batch_z, K, cfg, slam_cfg, force_keyframe=force
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["rel_pose"]), np.asarray(out_local["rel_pose"]),
+        atol=1e-5,
+    )
+    assert out_sh["rel_pose"].shape == (B, 4, 4, 4)
+    switch = np.asarray(out_sh["switch"])
+    assert switch[:, 1].all()  # forced keyframe at frame index 2
+    np.testing.assert_array_equal(switch, np.asarray(out_local["switch"]))
+
+
 def test_sharded_pose_graph_build_matches(mesh):
     """Edge-sharded Hessian assembly == single-device assembly."""
     from dvo_slam_tpu.models import pose_graph
