@@ -24,6 +24,10 @@ Modes:
   slam               — full KeyframeSlam.update loop (includes per-frame
                        host round trips and keyframe switches; on remoted
                        devices this is dominated by tunnel latency)
+  chunked            — full SLAM via ChunkedKeyframeSlam (device-resident
+                       front-end, one dispatch + one transfer per 16-frame
+                       chunk, graph backend per switch): the remoted-device
+                       fast path for the slam workload
   kfscan             — device-resident keyframe odometry (dual alignment +
                        entropy-ratio switching inside lax.scan): the SLAM
                        front-end with ZERO per-frame host round trips
@@ -55,7 +59,10 @@ def _render_ring(W, H, K_t, n=8, radius=0.06):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="odometry",
-                    choices=["odometry", "cold", "dual", "slam", "kfscan"])
+                    choices=["odometry", "cold", "dual", "slam", "chunked",
+                             "kfscan"])
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="chunked mode: frames per dispatch")
     ap.add_argument("--frames", type=int, default=400)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
@@ -89,6 +96,8 @@ def main():
 
     if args.mode == "slam":
         fps, note = _bench_slam(args, cfg, K_t, frames)
+    elif args.mode == "chunked":
+        fps, note = _bench_chunked(args, cfg, K_t, frames)
     elif args.mode == "kfscan":
         fps, note = _bench_kfscan(args, cfg, K_t, ring, jax, jnp)
     else:
@@ -217,6 +226,60 @@ def _bench_kfscan(args, cfg, K_t, ring, jax, jnp):
             f"ms_per_frame={1000 * elapsed / frames_done:.2f} "
             "(zero per-frame host round trips)")
     return frames_done / elapsed, note
+
+
+def _bench_chunked(args, cfg, K_t, frames):
+    """Full SLAM via the chunked device-resident front-end: one dispatch +
+    one transfer per chunk (models/chunked_slam.py); keyframe switches
+    (forced once per chunk, matching slam mode's cadence) replay through
+    the graph backend on the host."""
+    from dvo_slam_tpu.config import SlamConfig
+    from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+
+    import jax.numpy as jnp
+
+    slam_cfg = SlamConfig(local_map_optimize=False)
+    n_ring = len(frames)
+    chunk = args.chunk
+
+    # Pre-stage per-chunk device tensors (ring-rotated so chunks differ):
+    # raw-frame upload is I/O, not SLAM — the other modes pre-upload the
+    # ring for the same reason (and over the axon tunnel a 16-frame chunk
+    # upload costs more than tracking it).
+    n_chunks = (args.frames + chunk - 1) // chunk
+    staged = []
+    for c in range(n_chunks):
+        sel = [frames[(c * chunk + j) % n_ring] for j in range(chunk)]
+        staged.append((
+            jnp.asarray(np.stack([s[0] for s in sel])),
+            jnp.asarray(np.stack([s[1] for s in sel])),
+        ))
+
+    def run(slam, chunks, t_base):
+        for c, (ints, deps) in enumerate(chunks):
+            if c > 0:
+                slam.force_keyframe()  # same cadence as slam mode
+            slam.update_chunk(
+                ints, deps,
+                [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
+            )
+
+    warm = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    warm.init()
+    run(warm, staged[:3], 0.0)
+    warm.finish()
+
+    slam = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    slam.init()
+    t0 = time.perf_counter()
+    run(slam, staged, 100.0)
+    elapsed = time.perf_counter() - t0
+    args_frames = n_chunks * chunk
+    note = (f"elapsed={elapsed:.3f}s chunk={chunk} "
+            f"keyframes={len(slam.keyframes)} "
+            f"ms_per_frame={1000 * elapsed / args_frames:.2f} "
+            "(one host round trip per chunk)")
+    return args_frames / elapsed, note
 
 
 def _bench_slam(args, cfg, K_t, frames):

@@ -51,6 +51,7 @@ def run_sequence(
     covariance_out: Optional[str] = None,
     checkpoint_out: Optional[str] = None,
     resume: Optional[str] = None,
+    chunk_size: Optional[int] = None,
 ) -> BenchmarkResult:
     """Run SLAM/odometry over an iterable of (timestamp, intensity, depth).
 
@@ -58,6 +59,12 @@ def run_sequence(
     closure), "odometry" (frame-to-frame only — the reference
     camera_tracker node; no keyframe store, no pose graph, unbounded
     sequence length).
+
+    chunk_size: slam/keyframe modes — process frames through the chunked
+    device-resident front-end (models/chunked_slam.py: one dispatch + one
+    transfer per chunk instead of per frame; the remoted-device fast path).
+    Implies SlamConfig.local_map_optimize=False (the scan fuses the window
+    in closed form) and is incompatible with checkpoint/resume.
 
     groundtruth: optional per-frame list aligned with the sequence; entries
     may be None for frames without a groundtruth match (mocap dropouts) —
@@ -101,6 +108,63 @@ def run_sequence(
                 for ts, cov in odo.covariances:
                     vals = " ".join(f"{v:.9e}" for v in cov.reshape(-1))
                     fh.write(f"{ts:.6f} {vals}\n")
+    elif chunk_size:
+        import dataclasses as _dc
+
+        from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+
+        if checkpoint_out or resume:
+            raise ValueError("chunked execution does not checkpoint/resume "
+                             "(the scan carry lives on device)")
+        slam_cfg_c = _dc.replace(slam_cfg, local_map_optimize=False)
+        slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg_c,
+                                   enable_loop_closure=(mode == "slam"))
+        slam.init(t0_pose)
+        if warmup and len(frames) >= 2:
+            warm_cfg = _dc.replace(
+                slam_cfg_c,
+                min_constraint_distance=1,
+                new_constraint_search_radius=1e9,
+                min_entropy_ratio_coarse=-1e9,
+                min_entropy_ratio_fine=-1e9,
+                cross_validation_threshold=1e9,
+            )  # host-side relaxations only: compile keys unchanged
+            warm = ChunkedKeyframeSlam(K, tracker_cfg, warm_cfg,
+                                       enable_loop_closure=(mode == "slam"))
+            warm.init()
+
+            def _warm_chunk(n, t0):
+                sel = [frames[i % 2] for i in range(n)]
+                return (np.stack([f[1] for f in sel]),
+                        np.stack([f[2] for f in sel]),
+                        [t0 + i / 30.0 for i in range(n)])
+
+            # Every scan length the timed loop hits: first chunk (init
+            # consumes frame 0 -> scan n-1), steady chunks (scan n), tail.
+            warm.update_chunk(*_warm_chunk(chunk_size, 0.0))
+            warm.update_chunk(*_warm_chunk(chunk_size, 1.0))
+            tail = len(frames) % chunk_size
+            if tail:
+                warm.update_chunk(*_warm_chunk(tail, 2.0))
+            # Keyframe-switch replay: pyramid build + graph solve (+ the
+            # loop-closure validation batch at 3 keyframes in slam mode).
+            warm.force_keyframe()
+            warm.update_chunk(*_warm_chunk(chunk_size, 3.0))
+            warm.force_keyframe()
+            warm.update_chunk(*_warm_chunk(chunk_size, 4.0))
+            warm.finish()
+        start = time.perf_counter()
+        for c in range(0, len(frames), chunk_size):
+            chunk = frames[c:c + chunk_size]
+            slam.update_chunk(
+                np.stack([f[1] for f in chunk]),
+                np.stack([f[2] for f in chunk]),
+                [f[0] for f in chunk],
+            )
+        elapsed = time.perf_counter() - start
+        traj = slam.finish()
+        num_keyframes = len(slam.keyframes)
+        num_loop_edges = slam.num_loop_edges
     else:
         if resume:
             from dvo_slam_tpu.utils import checkpoint
@@ -188,6 +252,7 @@ def run_tum_dataset(
     covariance_out: Optional[str] = None,
     checkpoint_out: Optional[str] = None,
     resume: Optional[str] = None,
+    chunk_size: Optional[int] = None,
 ) -> BenchmarkResult:
     """Benchmark a TUM RGB-D directory (reference benchmark_slam main)."""
     from dvo_slam_tpu.ops import camera
@@ -214,6 +279,7 @@ def run_tum_dataset(
         groundtruth=gt, mode=mode, trajectory_out=trajectory_out,
         covariance_out=covariance_out,
         checkpoint_out=checkpoint_out, resume=resume,
+        chunk_size=chunk_size,
     )
 
 
@@ -225,6 +291,7 @@ def run_synthetic(
     slam_cfg: SlamConfig = SlamConfig(),
     mode: str = "slam",
     trajectory_out: Optional[str] = None,
+    chunk_size: Optional[int] = None,
 ) -> BenchmarkResult:
     """Benchmark on the exact-geometry synthetic orbit sequence."""
     from dvo_slam_tpu.utils import synthetic
@@ -237,4 +304,5 @@ def run_synthetic(
     return run_sequence(
         frame_iter, K, tracker_cfg, slam_cfg,
         groundtruth=poses, mode=mode, trajectory_out=trajectory_out,
+        chunk_size=chunk_size,
     )

@@ -99,6 +99,11 @@ def main(argv=None):
             p.add_argument("--resume", default=None,
                            help="resume from a checkpoint (.npz) and "
                                 "continue over the dataset frames")
+            p.add_argument("--chunk-size", type=int, default=None,
+                           help="chunked device-resident front-end: one "
+                                "dispatch per N frames (remoted-device "
+                                "fast path; disables the windowed "
+                                "local-map solve)")
         p.set_defaults(mode=mode)
         _add_tracker_args(p)
         _add_slam_args(p)
@@ -233,6 +238,7 @@ def main(argv=None):
             covariance_out=getattr(args, "covariance_out", None),
             checkpoint_out=getattr(args, "checkpoint_out", None),
             resume=getattr(args, "resume", None),
+            chunk_size=getattr(args, "chunk_size", None),
         )
     print(res.to_json())
     return 0

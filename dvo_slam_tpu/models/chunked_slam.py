@@ -1,0 +1,155 @@
+"""Chunked streaming SLAM: device-resident front-end + host graph backend.
+
+The reference KeyframeTracker makes one in-process call per frame
+(dvo_slam/src/keyframe_tracker.cpp); the host-driven KeyframeSlam mirrors
+that with ONE device dispatch + one result transfer per frame — already
+minimal, but on remoted accelerators each frame still pays a full
+host<->device round trip (~90 ms over the axon tunnel; docs/performance.md),
+so full SLAM runs at ~11 fps there no matter how fast the chip is.
+
+ChunkedKeyframeSlam removes that wall: frames are processed in CHUNKS
+through the device-resident keyframe front-end (models/keyframe_scan.py —
+dual alignment, entropy-ratio keyframe switching, measurement fusion inside
+one `lax.scan`), so a chunk of N frames costs ONE dispatch + ONE transfer.
+The backend (keyframe records, pose graph, loop-closure proposal +
+two-stage validation, async device LM) is inherited unchanged from
+KeyframeSlam; keyframe switches discovered inside a chunk are replayed on
+the host walk of the chunk outputs: new-keyframe pyramids are rebuilt from
+the raw frames (keyframes are rare — a dispatch per switch, not per frame),
+odometry edges enter the graph, loop closures are searched and validated,
+and the global solve is dispatched asynchronously exactly as in the
+per-frame orchestrator.
+
+Semantic deltas vs KeyframeSlam (both documented in keyframe_scan):
+  * the closing window is fused in closed form (scan carry), not by the
+    windowed LocalMap solve — set `SlamConfig.local_map_optimize=False`
+    for apples-to-apples comparisons;
+  * per-iteration TrackStats are not collected inside the scan.
+
+Trajectory results are chunk-size invariant: splitting a sequence at any
+boundaries yields the same poses (tests/test_chunked_slam.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.models import keyframe_scan
+from dvo_slam_tpu.models.keyframe_tracker import FrameRecord, KeyframeSlam
+from dvo_slam_tpu.utils import se3_np
+
+
+class ChunkedKeyframeSlam(KeyframeSlam):
+    """KeyframeSlam with a chunked device-resident front-end.
+
+    Public surface: `update_chunk(intensities, depths, timestamps)` plus
+    everything inherited (init / force_keyframe / reset / finish /
+    trajectory). `update()` processes a 1-frame chunk — identical results,
+    per-frame round-trip cost; use update_chunk for throughput.
+    """
+
+    def __init__(self, K, tracker_cfg: TrackerConfig = TrackerConfig(),
+                 slam_cfg: SlamConfig = SlamConfig(),
+                 enable_loop_closure: bool = True, frame_logger=None):
+        super().__init__(K, tracker_cfg, slam_cfg,
+                         enable_loop_closure=enable_loop_closure,
+                         frame_logger=frame_logger)
+        self._carry = None
+
+    def update(self, intensity, depth, timestamp: float) -> np.ndarray:
+        return self.update_chunk(
+            np.asarray(intensity)[None], np.asarray(depth)[None], [timestamp]
+        )[-1]
+
+    def update_chunk(self, intensities, depths,
+                     timestamps: Sequence[float]) -> List[np.ndarray]:
+        """Track a chunk of frames; returns one world pose (4,4) f64 per
+        frame. intensities/depths: (N, H, W); timestamps: length N."""
+        intensities = jnp.asarray(intensities, jnp.float32)
+        depths = jnp.asarray(depths, jnp.float32)
+        assert intensities.ndim == 3 and len(timestamps) == intensities.shape[0]
+        out_poses: List[np.ndarray] = []
+        start = 0
+
+        if not self._initialized:
+            if not hasattr(self, "_T0"):
+                self.init()
+            pyr0 = self._build_pyramid(intensities[0], depths[0])
+            self._add_keyframe(pyr0, timestamps[0], self._T0, None, None)
+            self.frames.append(
+                FrameRecord(timestamps[0], self.keyframes[-1].idx, np.eye(4))
+            )
+            self._carry = keyframe_scan.init_carry(pyr0)
+            self._initialized = True
+            out_poses.append(self._T0.copy())
+            start = 1
+
+        n = intensities.shape[0] - start
+        if n == 0:
+            return out_poses
+
+        force = np.zeros(n, bool)
+        if self._force_next:
+            force[0] = True
+            self._force_next = False
+
+        # ONE dispatch for the whole chunk; ONE device->host transfer for
+        # everything the backend walk needs.
+        self._carry, outs = keyframe_scan.track_keyframe_chunk(
+            self._carry, intensities[start:], depths[start:], self.K,
+            self.tracker_cfg, self.slam_cfg,
+            force_keyframe=jnp.asarray(force),
+        )
+        rel, switch, Zs, infos, entropies, ratios, accepts = jax.device_get((
+            outs["rel_pose"], outs["switch"], outs["Z_switch"],
+            outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
+            outs["accept"],
+        ))
+
+        for k in range(n):
+            t = float(timestamps[start + k])
+            kf = self.keyframes[-1]
+            if self.frame_logger is not None:
+                self.frame_logger.log(
+                    t=t, frame=len(self.frames), keyframe=kf.idx,
+                    entropy=float(entropies[k]),
+                    entropy_ratio=float(ratios[k]),
+                    accepted=bool(accepts[k]),
+                    keyframe_switch=bool(switch[k]),
+                )
+            if bool(switch[k]):
+                # Replay of KeyframeSlam's switch branch: anchor the new
+                # keyframe on the (synced) optimized parent pose, edge into
+                # the graph, search loop closures, dispatch the solve.
+                self._sync_poses()
+                Z_new = np.asarray(Zs[k], np.float64)
+                info = np.asarray(infos[k], np.float64)
+                pyr = self._build_pyramid(intensities[start + k],
+                                          depths[start + k])
+                T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
+                self._add_keyframe(pyr, t, T_w_new, kf.idx, (Z_new, info))
+                new_kf = self.keyframes[-1]
+                if self.enable_loop_closure:
+                    self._search_loop_closures(new_kf)
+                self._optimize(self.slam_cfg.optimization_iterations)
+                self.frames.append(FrameRecord(t, new_kf.idx, np.eye(4)))
+                out_poses.append(self._world_pose(new_kf.idx, np.eye(4)))
+                continue
+
+            # Entropy bookkeeping for the constraint voters (entropy_avg),
+            # mirroring KeyframeSlam.update's non-switch branch.
+            h = float(entropies[k])
+            if bool(accepts[k]) and np.isfinite(h):
+                if kf.entropy_first is None:
+                    kf.entropy_first = h
+                kf.entropy_sum += h
+                kf.entropy_count += 1
+            T_kf_cur = np.asarray(rel[k], np.float64)
+            self.frames.append(FrameRecord(t, kf.idx, T_kf_cur))
+            out_poses.append(self._world_pose(kf.idx, T_kf_cur))
+        return out_poses

@@ -58,37 +58,23 @@ def _fuse_relative_poses_jnp(T_a, info_a, T_b, info_b):
     return se3.exp(delta) @ T_a
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slam_cfg"))
-def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
-                            slam_cfg: SlamConfig = SlamConfig(),
-                            force_keyframe=None):
-    """Keyframe odometry over a whole sequence in one jitted call.
+def init_carry(pyr0):
+    """Scan carry anchored at a fresh keyframe pyramid (frame 0 / the frame
+    that just switched). The carry is self-contained: chunked runs chain it
+    across dispatches (ChunkedKeyframeSlam, models/chunked_slam.py)."""
+    eye = jnp.eye(4, dtype=jnp.float32)
+    return {
+        "kf": pyr0,
+        "prev": pyr0,
+        "T_kf_prev": eye,
+        "last_odo": eye,
+        "H_first": jnp.float32(0.0),
+        "has_first": jnp.asarray(False),
+    }
 
-    Args:
-      intensities / depths: (T, H, W) f32 sequence (depth NaN-invalid).
-      K: (4,) intrinsics.
-      cfg / slam_cfg: static configs (entropy threshold, constraint ratio
-        and fusion toggle come from slam_cfg, as in KeyframeSlam).
-      force_keyframe: optional (T,) bool — promote frame k to a keyframe
-        (the forceKeyframe control input). Frame 0 is always the first
-        keyframe.
 
-    Returns dict of per-frame arrays (leading dim T-1, frames 1..T-1):
-      rel_pose (4,4): frame-cam <- active-keyframe-cam AFTER this frame's
-        decision (identity rows where switch=True: the frame IS the new
-        keyframe);
-      switch (bool): this frame became a new keyframe;
-      Z_switch (4,4): old-kf -> new-kf measurement where switch (garbage
-        elsewhere); info_switch (6,6): its information;
-      entropy, entropy_ratio, valid_ratio, accept, iterations, is_nan —
-      the tracking-quality stream (reference Stats + evaluation signals).
-    """
-    T_total = intensities.shape[0]
-    Ks = camera.pyramid_intrinsics(K, cfg.num_levels)
-    if force_keyframe is None:
-        force_keyframe = jnp.zeros(T_total, bool)
-
-    pyr0 = pyramid.build_pyramid(intensities[0], depths[0], cfg.num_levels)
+def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
+    """The per-frame scan body (shared by whole-sequence and chunked runs)."""
     eye = jnp.eye(4, dtype=jnp.float32)
 
     def step(carry, inputs):
@@ -174,17 +160,58 @@ def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
         }
         return new_carry, out
 
-    carry0 = {
-        "kf": pyr0,
-        "prev": pyr0,
-        "T_kf_prev": eye,
-        "last_odo": eye,
-        "H_first": jnp.float32(0.0),
-        "has_first": jnp.asarray(False),
-    }
-    _, outs = jax.lax.scan(
-        step, carry0,
-        (intensities[1:], depths[1:], force_keyframe[1:]),
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slam_cfg"))
+def track_keyframe_chunk(carry, intensities, depths, K, cfg: TrackerConfig,
+                         slam_cfg: SlamConfig = SlamConfig(),
+                         force_keyframe=None):
+    """Run the keyframe front-end over one CHUNK of frames, chaining the
+    carry: (carry, (T, H, W) frames) -> (carry, per-frame outputs).
+
+    The chunked form gives streaming SLAM one host round trip per chunk
+    instead of per frame (ChunkedKeyframeSlam); semantics are identical to
+    track_keyframe_sequence split at arbitrary boundaries."""
+    if force_keyframe is None:
+        force_keyframe = jnp.zeros(intensities.shape[0], bool)
+    Ks = camera.pyramid_intrinsics(K, cfg.num_levels)
+    step = _make_step(Ks, cfg, slam_cfg)
+    return jax.lax.scan(step, carry, (intensities, depths, force_keyframe))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slam_cfg"))
+def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
+                            slam_cfg: SlamConfig = SlamConfig(),
+                            force_keyframe=None):
+    """Keyframe odometry over a whole sequence in one jitted call.
+
+    Args:
+      intensities / depths: (T, H, W) f32 sequence (depth NaN-invalid).
+      K: (4,) intrinsics.
+      cfg / slam_cfg: static configs (entropy threshold, constraint ratio
+        and fusion toggle come from slam_cfg, as in KeyframeSlam).
+      force_keyframe: optional (T,) bool — promote frame k to a keyframe
+        (the forceKeyframe control input). Frame 0 is always the first
+        keyframe.
+
+    Returns dict of per-frame arrays (leading dim T-1, frames 1..T-1):
+      rel_pose (4,4): frame-cam <- active-keyframe-cam AFTER this frame's
+        decision (identity rows where switch=True: the frame IS the new
+        keyframe);
+      switch (bool): this frame became a new keyframe;
+      Z_switch (4,4): old-kf -> new-kf measurement where switch (garbage
+        elsewhere); info_switch (6,6): its information;
+      entropy, entropy_ratio, valid_ratio, accept, iterations, is_nan —
+      the tracking-quality stream (reference Stats + evaluation signals).
+    """
+    T_total = intensities.shape[0]
+    if force_keyframe is None:
+        force_keyframe = jnp.zeros(T_total, bool)
+    pyr0 = pyramid.build_pyramid(intensities[0], depths[0], cfg.num_levels)
+    _, outs = track_keyframe_chunk(
+        init_carry(pyr0), intensities[1:], depths[1:], K, cfg, slam_cfg,
+        force_keyframe=force_keyframe[1:],
     )
     return outs
 

@@ -1,0 +1,102 @@
+"""Chunked streaming SLAM (device-resident front-end + graph backend)."""
+
+import numpy as np
+import pytest
+
+from dvo_slam_tpu.config import SlamConfig, TrackerConfig
+from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+from dvo_slam_tpu.utils import evaluate, synthetic
+
+W, H = 64, 48
+K = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
+TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=30)
+SLAM = SlamConfig(max_keyframes=32, max_edges=128, min_constraint_distance=3,
+                  coarse_first_level=1, coarse_last_level=1,
+                  validation_batch=4, local_map_optimize=False)
+
+
+def _sequence(n=12, radius=0.05):
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(n, radius=radius)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    seq_i = np.stack([f[0] for f in frames])
+    seq_z = np.stack([f[1] for f in frames])
+    ts = [i / 30.0 for i in range(n)]
+    return seq_i, seq_z, ts, poses
+
+
+def _run(chunks, enable_loop_closure=True, force_at=None):
+    seq_i, seq_z, ts, gt = _sequence()
+    slam = ChunkedKeyframeSlam(K, TRACKER, SLAM,
+                               enable_loop_closure=enable_loop_closure)
+    slam.init()
+    poses = []
+    k = 0
+    for size in chunks:
+        if force_at is not None and k <= force_at < k + size:
+            # force_keyframe applies to the NEXT processed frame, so split
+            # the chunk there in this helper only when asked.
+            pass
+        poses.extend(slam.update_chunk(seq_i[k:k + size], seq_z[k:k + size],
+                                       ts[k:k + size]))
+        k += size
+    assert k == len(ts)
+    return slam, poses, gt
+
+
+def test_chunk_boundaries_do_not_change_results():
+    """The same sequence split at different chunk boundaries (including
+    per-frame update()) yields identical trajectories and keyframes."""
+    slam_a, poses_a, _ = _run([12])
+    slam_b, poses_b, _ = _run([1, 3, 5, 2, 1])
+
+    seq_i, seq_z, ts, _ = _sequence()
+    slam_c = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+    slam_c.init()
+    poses_c = [slam_c.update(seq_i[i], seq_z[i], ts[i])
+               for i in range(len(ts))]
+
+    assert len(poses_a) == len(poses_b) == len(poses_c) == len(ts)
+    kfs = lambda s: [k.idx for k in s.keyframes]
+    assert kfs(slam_a) == kfs(slam_b) == kfs(slam_c)
+    for Ta, Tb, Tc in zip(poses_a, poses_b, poses_c):
+        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+        np.testing.assert_allclose(Ta, Tc, atol=1e-9)
+
+
+def test_chunked_slam_tracks_groundtruth():
+    """End-to-end accuracy through the chunked path (loop closure on)."""
+    slam, poses, gt = _run([4, 4, 4])
+    assert evaluate.ate_rmse(poses, gt) < 0.005
+    final = slam.finish()
+    est = [T for _, T in final]
+    assert evaluate.ate_rmse(est, gt) < 0.005
+
+
+def test_benchmark_runner_chunked_path():
+    """benchmark.run_sequence(chunk_size=...) drives the chunked engine
+    end-to-end (warmup covers every chunk length, ATE evaluated)."""
+    from dvo_slam_tpu import benchmark
+
+    res = benchmark.run_synthetic(
+        num_frames=10, width=W, height=H,
+        tracker_cfg=TRACKER, slam_cfg=SLAM, mode="slam", chunk_size=4,
+    )
+    assert res.num_frames == 10
+    assert res.ate_rmse_m < 0.005
+
+
+def test_chunked_force_keyframe():
+    """force_keyframe() promotes the first frame of the next chunk."""
+    seq_i, seq_z, ts, _ = _sequence()
+    slam = ChunkedKeyframeSlam(K, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init()
+    slam.update_chunk(seq_i[:4], seq_z[:4], ts[:4])
+    n_before = len(slam.keyframes)
+    slam.force_keyframe()
+    slam.update_chunk(seq_i[4:8], seq_z[4:8], ts[4:8])
+    assert len(slam.keyframes) > n_before
+    # The forced keyframe is exactly frame 4.
+    assert slam.frames[4].keyframe_idx == slam.keyframes[n_before].idx
+    np.testing.assert_allclose(slam.frames[4].T_kf_frame, np.eye(4))
