@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--margin", type=int, default=None,
                     help="override pallas window margin (rows)")
+    ap.add_argument("--scale-warm", type=int, default=None,
+                    help="override tdist_scale_warm_iters")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +89,8 @@ def main():
     kw = {}
     if args.margin is not None:
         kw["pallas_margin"] = args.margin
+    if args.scale_warm is not None:
+        kw["tdist_scale_warm_iters"] = args.scale_warm
     cfg = TrackerConfig(sampler_backend="pallas" if on_tpu else "gather", **kw)
     K_t = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), cfg.num_levels)

@@ -65,6 +65,12 @@ class TrackerConfig:
     # (reference iterates to convergence; a fixed small count is
     # jit-friendly and converges in practice).
     tdist_scale_iters: int = 5
+    # Warm-started fixed-point count: after the first IRLS iteration of a
+    # level, seed the scale estimate from the previous iteration's Sigma
+    # (the reference's TDistributionScaleEstimator keeps its estimate
+    # across iterations too) and run only this many steps. 0 disables
+    # (every iteration runs tdist_scale_iters from the moment estimate).
+    tdist_scale_warm_iters: int = 0
     huber_k: float = 1.345
     tukey_b: float = 4.6851
     # Sensor-noise floor on the residual scale estimates. Without it the

@@ -131,10 +131,12 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def _linearize(ref_data, cur_slab, K, T, cfg, axis_name=None, cur_cmajor=None):
+def _linearize(ref_data, cur_slab, K, T, cfg, axis_name=None, cur_cmajor=None,
+               sigma_init=None, sigma_warm=None):
     """Fused channel-major linearization (ops/linearize.py)."""
     return lin_ops.linearize(ref_data, cur_slab, K, T, cfg,
-                             axis_name=axis_name, cur_cmajor=cur_cmajor)
+                             axis_name=axis_name, cur_cmajor=cur_cmajor,
+                             sigma_init=sigma_init, sigma_warm=sigma_warm)
 
 
 def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
@@ -144,15 +146,18 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
     dtype = T_init.dtype
     use_lm = cfg.lm_lambda_init > 0.0
 
-    def linearize(T):
+    def linearize(T, sigma_prev=None, warm=None):
         return _linearize(ref_data, cur_slab, K, T, cfg,
-                          axis_name=axis_name, cur_cmajor=cur_cmajor)
+                          axis_name=axis_name, cur_cmajor=cur_cmajor,
+                          sigma_init=sigma_prev, sigma_warm=warm)
 
     def cond(carry):
         return ~carry["done"]
 
     def body(carry):
-        lin = linearize(carry["T_cur"])
+        # Warm-start the scale fixed point from the last ACCEPTED Sigma
+        # (reference: the scale estimate persists across IRLS iterations).
+        lin = linearize(carry["T_cur"], carry["sigma_best"], carry["k"] > 0)
         first = carry["k"] == 0
         accept = first | (lin.err_mean <= carry["err_best"])
 

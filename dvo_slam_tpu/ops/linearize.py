@@ -122,12 +122,20 @@ def _sample_gather(cur_slab, u, v):
 
 def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
               axis_name: Optional[str] = None,
-              cur_cmajor=None) -> Linearization:
+              cur_cmajor=None, sigma_init=None,
+              sigma_warm=None) -> Linearization:
     """One fused IRLS linearization at pose T. See module docstring.
 
     `cur_cmajor`: channel-block layout of the slab (pallas sampler input,
     from ops.pallas.sampler.slab_to_cmajor) — required when
     cfg.sampler_backend == "pallas".
+
+    `sigma_init` / `sigma_warm`: with cfg.tdist_scale_warm_iters > 0, a
+    (2, 2) scale matrix from the previous IRLS iteration and a traced
+    boolean gating it (False on a level's first iteration): the fixed
+    point seeds from sigma_init instead of the moment estimate and runs
+    only tdist_scale_warm_iters steps (the reference scale estimator
+    also carries its estimate across iterations).
     """
     C, H, W = cur_slab.shape
     dtype = cur_slab.dtype
@@ -206,6 +214,17 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
         a = _psum(sII.sum(), axis_name) / n + floor_II
         bq = _psum(sIZ.sum(), axis_name) / n
         c = _psum(sZZ.sum(), axis_name) / n + floor_ZZ
+        n_fp = cfg.tdist_scale_iters
+        if sigma_init is not None and cfg.tdist_scale_warm_iters > 0:
+            warm = (jnp.asarray(False) if sigma_warm is None
+                    else sigma_warm) & jnp.isfinite(sigma_init).all()
+            a = jnp.where(warm, jnp.maximum(sigma_init[0, 0], floor_II), a)
+            bq = jnp.where(warm, sigma_init[0, 1], bq)
+            c = jnp.where(warm, jnp.maximum(sigma_init[1, 1], floor_ZZ), c)
+            # Traced trip count: full count on the (cold) first iteration,
+            # the short warm count afterwards.
+            n_fp = jnp.where(warm, cfg.tdist_scale_warm_iters,
+                             cfg.tdist_scale_iters)
 
         def fp(_, s):
             a, bq, c = s
@@ -219,7 +238,7 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
                 _psum((w * sZZ).sum(), axis_name) / n + floor_ZZ,
             )
 
-        a, bq, c = jax.lax.fori_loop(0, cfg.tdist_scale_iters, fp, (a, bq, c))
+        a, bq, c = jax.lax.fori_loop(0, n_fp, fp, (a, bq, c))
         det = jnp.maximum(a * c - bq * bq, _EPS)
         p00, p01, p11 = c / det, -bq / det, a / det
         maha = p00 * sII + 2.0 * p01 * sIZ + p11 * sZZ

@@ -311,3 +311,25 @@ def test_batched_is_nan_is_per_row():
     assert nans.shape == (2,)
     assert not nans[0], "healthy row flagged NaN by its batch neighbour"
     assert _pose_error(res.transformation[0], T_true) < 2e-3
+
+
+def test_scale_warm_start_matches_cold():
+    """tdist_scale_warm_iters: seeding the Sigma fixed point from the
+    previous iteration's estimate (the reference scale estimator persists
+    across iterations) must recover the same pose and scale as the cold
+    per-iteration fixed point."""
+    import dataclasses
+
+    xi = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.005])
+    ref, cur, T_true = _render_pair(xi)
+    cfg_cold = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                             max_iterations=30)
+    cfg_warm = dataclasses.replace(cfg_cold, tdist_scale_warm_iters=2)
+    r_cold = _track(ref, cur, cfg_cold)
+    r_warm = _track(ref, cur, cfg_warm)
+    assert _pose_error(r_warm.transformation, T_true) < 5e-4
+    assert abs(_pose_error(r_warm.transformation, T_true)
+               - _pose_error(r_cold.transformation, T_true)) < 1e-5
+    np.testing.assert_allclose(np.asarray(r_warm.sigma),
+                               np.asarray(r_cold.sigma),
+                               rtol=1e-3, atol=1e-6)
