@@ -64,7 +64,8 @@ def run_sequence(
     device-resident front-end (models/chunked_slam.py: one dispatch + one
     transfer per chunk instead of per frame; the remoted-device fast path).
     Implies SlamConfig.local_map_optimize=False (the scan fuses the window
-    in closed form) and is incompatible with checkpoint/resume.
+    in closed form). Checkpoints written here carry the scan state and
+    resume only with chunk_size set (and vice versa).
 
     groundtruth: optional per-frame list aligned with the sequence; entries
     may be None for frames without a groundtruth match (mocap dropouts) —
@@ -113,13 +114,18 @@ def run_sequence(
 
         from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 
-        if checkpoint_out or resume:
-            raise ValueError("chunked execution does not checkpoint/resume "
-                             "(the scan carry lives on device)")
         slam_cfg_c = _dc.replace(slam_cfg, local_map_optimize=False)
-        slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg_c,
-                                   enable_loop_closure=(mode == "slam"))
-        slam.init(t0_pose)
+        if resume:
+            from dvo_slam_tpu.utils import checkpoint
+
+            slam = checkpoint.load_slam(
+                resume, K, tracker_cfg, slam_cfg_c,
+                enable_loop_closure=(mode == "slam"), chunked=True,
+            )
+        else:
+            slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg_c,
+                                       enable_loop_closure=(mode == "slam"))
+            slam.init(t0_pose)
         if warmup and len(frames) >= 2:
             warm_cfg = _dc.replace(
                 slam_cfg_c,
@@ -162,6 +168,10 @@ def run_sequence(
                 [f[0] for f in chunk],
             )
         elapsed = time.perf_counter() - start
+        if checkpoint_out:
+            from dvo_slam_tpu.utils import checkpoint
+
+            checkpoint.save_slam(checkpoint_out, slam)
         traj = slam.finish()
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges

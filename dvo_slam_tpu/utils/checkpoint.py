@@ -78,12 +78,27 @@ def save_slam(path: str, slam) -> None:
             )
         if slam._prev_pyr is not None:
             data[f"prev_pyr_{lvl}"] = np.asarray(slam._prev_pyr[lvl])
+    # Chunked engine: the device scan carry (models/chunked_slam.py).
+    carry = getattr(slam, "_carry", None)
+    if carry is not None:
+        data["carry_present"] = np.asarray(True)
+        for lvl in range(num_levels):
+            data[f"carry_kf_{lvl}"] = np.asarray(carry["kf"][lvl])
+            data[f"carry_prev_{lvl}"] = np.asarray(carry["prev"][lvl])
+        data["carry_T_kf_prev"] = np.asarray(carry["T_kf_prev"])
+        data["carry_last_odo"] = np.asarray(carry["last_odo"])
+        data["carry_H_first"] = np.asarray(carry["H_first"])
+        data["carry_has_first"] = np.asarray(carry["has_first"])
     np.savez_compressed(path, **data)
 
 
 def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
-              enable_loop_closure=True):
-    """Restore a KeyframeSlam from .npz; returns a ready-to-update instance."""
+              enable_loop_closure=True, chunked=False):
+    """Restore a KeyframeSlam from .npz; returns a ready-to-update instance.
+
+    chunked=True restores a models.chunked_slam.ChunkedKeyframeSlam
+    (requires a checkpoint written by one — the scan carry must be
+    present)."""
     import jax.numpy as jnp
 
     from dvo_slam_tpu.config import SlamConfig, TrackerConfig
@@ -104,7 +119,17 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
                 f"but loading with {field}={passed}; pass a matching "
                 "TrackerConfig"
             )
-    slam = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure)
+    if chunked:
+        from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+
+        if "carry_present" not in z:
+            raise ValueError("checkpoint has no scan carry; it was written "
+                             "by the per-frame engine — load with "
+                             "chunked=False")
+        slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg,
+                                   enable_loop_closure=enable_loop_closure)
+    else:
+        slam = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure)
     slam.init(z["kf_poses"][0] if len(z["kf_poses"]) else None)
 
     n_kf = int(z["num_keyframes"])
@@ -164,5 +189,17 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
     slam._last_odo = np.asarray(z["last_odo"], np.float64)
     slam._force_next = bool(z["force_next"])
     slam._initialized = bool(z["initialized"])
+    if chunked:
+        num_levels = tracker_cfg.num_levels
+        slam._carry = {
+            "kf": tuple(jnp.asarray(z[f"carry_kf_{lvl}"])
+                        for lvl in range(num_levels)),
+            "prev": tuple(jnp.asarray(z[f"carry_prev_{lvl}"])
+                          for lvl in range(num_levels)),
+            "T_kf_prev": jnp.asarray(z["carry_T_kf_prev"]),
+            "last_odo": jnp.asarray(z["carry_last_odo"]),
+            "H_first": jnp.asarray(z["carry_H_first"]),
+            "has_first": jnp.asarray(z["carry_has_first"]),
+        }
     slam._evict_keyframe_pyramids()  # re-apply the HBM residency budget
     return slam

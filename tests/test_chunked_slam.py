@@ -87,6 +87,42 @@ def test_benchmark_runner_chunked_path():
     assert res.ate_rmse_m < 0.005
 
 
+def test_chunked_checkpoint_resume_equivalence(tmp_path):
+    """Save mid-run (scan carry included), resume, continue: identical
+    trajectory to the uninterrupted run."""
+    from dvo_slam_tpu.utils import checkpoint
+
+    seq_i, seq_z, ts, _ = _sequence()
+    full = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+    full.init()
+    full.update_chunk(seq_i[:6], seq_z[:6], ts[:6])
+    path = str(tmp_path / "chunked.npz")
+    checkpoint.save_slam(path, full)
+    full.update_chunk(seq_i[6:], seq_z[6:], ts[6:])
+    traj_full = full.finish()
+
+    resumed = checkpoint.load_slam(path, K, TRACKER, SLAM, chunked=True)
+    assert isinstance(resumed, ChunkedKeyframeSlam)
+    resumed.update_chunk(seq_i[6:], seq_z[6:], ts[6:])
+    traj_res = resumed.finish()
+
+    assert len(traj_full) == len(traj_res) == len(ts)
+    for (ta, Ta), (tb, Tb) in zip(traj_full, traj_res):
+        assert ta == tb
+        np.testing.assert_allclose(Ta, Tb, atol=1e-7)
+
+    # A per-frame-engine checkpoint must refuse to load as chunked.
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+
+    per_frame = KeyframeSlam(K, TRACKER, SLAM)
+    per_frame.init()
+    per_frame.update(seq_i[0], seq_z[0], ts[0])
+    path2 = str(tmp_path / "perframe.npz")
+    checkpoint.save_slam(path2, per_frame)
+    with pytest.raises(ValueError, match="carry"):
+        checkpoint.load_slam(path2, K, TRACKER, SLAM, chunked=True)
+
+
 def test_chunked_force_keyframe():
     """force_keyframe() promotes the first frame of the next chunk."""
     seq_i, seq_z, ts, _ = _sequence()
