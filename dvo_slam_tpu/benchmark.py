@@ -232,7 +232,11 @@ def run_sequence(
 
     ate = rpe_t = rpe_r = None
     if groundtruth is not None:
-        pairs = [(e, g) for e, g in zip(est, groundtruth) if g is not None]
+        # Resumed runs: finish() returns checkpointed frames too, but
+        # groundtruth covers only THIS run's frames — align from the tail
+        # (a no-op for fresh runs, where the lengths match).
+        est_eval = est[-len(groundtruth):] if len(groundtruth) else []
+        pairs = [(e, g) for e, g in zip(est_eval, groundtruth) if g is not None]
         if len(pairs) >= 2:
             est_m = [p[0] for p in pairs]
             gt_m = [p[1] for p in pairs]

@@ -40,11 +40,13 @@ _ENTROPY_FLOOR = 1.0  # matches dense_tracker._ENTROPY_DENOM_FLOOR
 
 def _entropy_ratio_jnp(h_cur, h_ref, has_ref):
     """Sign-safe entropy ratio (dense_tracker.entropy_ratio), traced form.
-    No reference yet -> 1.0 (the host orchestrator's first-frame path)."""
+    No reference yet -> 1.0 even for non-finite h_cur (the host
+    orchestrator keeps tracking until a finite first entropy establishes
+    history; only WITH history does non-finite entropy force a switch)."""
     ref = jnp.where(has_ref, h_ref, h_cur)
     ratio = 1.0 - (h_cur - ref) / jnp.maximum(jnp.abs(ref), _ENTROPY_FLOOR)
     ok = jnp.isfinite(h_cur) & jnp.isfinite(ref)
-    return jnp.where(ok, ratio, -jnp.inf)
+    return jnp.where(has_ref, jnp.where(ok, ratio, -jnp.inf), 1.0)
 
 
 def _fuse_relative_poses_jnp(T_a, info_a, T_b, info_b):

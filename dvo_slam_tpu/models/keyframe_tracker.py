@@ -266,8 +266,13 @@ class KeyframeSlam:
             self.frame_logger.log(**rec)
 
         if not switch:
-            kf.entropy_sum += kf_entropy
-            kf.entropy_count += 1
+            if np.isfinite(kf_entropy):
+                # A finite-pose frame can still carry +inf entropy
+                # (singular information); accumulating it would poison
+                # entropy_avg and silently veto all future loop closures
+                # against this keyframe.
+                kf.entropy_sum += kf_entropy
+                kf.entropy_count += 1
             T_kf_cur = r_kf_T
             if self.slam_cfg.fuse_odometry and not odo_nan:
                 # LocalMap::optimize() equivalent: fuse the direct
@@ -497,7 +502,7 @@ class KeyframeSlam:
             return
         poses = np.asarray(self.graph.poses, np.float64)
         for k in range(len(self.kf_poses)):
-            self.kf_poses[k] = _renormalize(poses[k])
+            self.kf_poses[k] = se3_np.renormalize(poses[k])
         self._poses_stale = False
         self._pose_fetches += 1
 
@@ -561,13 +566,3 @@ def fuse_relative_poses(T_a, info_a, T_b, info_b):
     return se3_np.exp(delta) @ T_a
 
 
-def _renormalize(T: np.ndarray) -> np.ndarray:
-    """Re-orthonormalize a rotation block drifting in f32 (SVD projection)."""
-    U, _, Vt = np.linalg.svd(T[:3, :3])
-    R = U @ Vt
-    if np.linalg.det(R) < 0:
-        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
-    out = np.eye(4)
-    out[:3, :3] = R
-    out[:3, 3] = T[:3, 3]
-    return out

@@ -140,17 +140,5 @@ class LocalMap:
             if not np.isfinite(T_w_frame).all():
                 out.append(self.estimates[i])
                 continue
-            out.append(se3_np.inverse(_orthonormalize(T_w_frame)))
+            out.append(se3_np.inverse(se3_np.renormalize(T_w_frame)))
         return out
-
-
-def _orthonormalize(T: np.ndarray) -> np.ndarray:
-    """Project the rotation block back onto SO(3) (f32 solver drift)."""
-    U, _, Vt = np.linalg.svd(T[:3, :3])
-    R = U @ Vt
-    if np.linalg.det(R) < 0:
-        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
-    out = np.eye(4)
-    out[:3, :3] = R
-    out[:3, 3] = T[:3, 3]
-    return out

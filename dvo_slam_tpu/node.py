@@ -52,27 +52,12 @@ from typing import Optional
 import numpy as np
 
 
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = bytearray()
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed mid-message")
-        buf.extend(chunk)
-    return bytes(buf)
-
-
-def _recv_line(sock: socket.socket) -> bytes:
-    buf = bytearray()
-    while True:
-        b = sock.recv(1)
-        if not b:
-            if buf:
-                raise ConnectionError("peer closed mid-line")
-            return b""
-        if b == b"\n":
-            return bytes(buf)
-        buf.extend(b)
+def _read_exact(rfile, n: int) -> bytes:
+    """Read exactly n bytes from a buffered socket file (EOF -> error)."""
+    data = rfile.read(n)
+    if data is None or len(data) < n:
+        raise ConnectionError("peer closed mid-message")
+    return data
 
 
 class Broadcast:
@@ -121,7 +106,8 @@ class SlamNode:
     """Session state for one connected camera stream."""
 
     def __init__(self, K, tracker_cfg=None, slam_cfg=None, mode="slam",
-                 with_covariance=False, frame_logger=None, visualizer=None):
+                 with_covariance=False, frame_logger=None, visualizer=None,
+                 visualizer_lock=None):
         from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 
         tracker_cfg = tracker_cfg or TrackerConfig()
@@ -129,6 +115,10 @@ class SlamNode:
         self.mode = mode
         self.with_covariance = with_covariance
         self.visualizer = visualizer
+        # The visualizer may be shared by concurrent camera sessions in
+        # the threaded server (serve passes one shared lock); matplotlib
+        # rendering and the pose lists are not thread-safe.
+        self._viz_lock = visualizer_lock or threading.Lock()
         self._K = np.asarray(K, np.float64).reshape(-1)[:4]
         if mode == "odometry":
             from dvo_slam_tpu.models.odometry import OdometryTracker
@@ -159,20 +149,24 @@ class SlamNode:
                "keyframe": bool(is_kf)}
         if self.mode == "odometry" and self.with_covariance \
                 and self.engine.covariances:
-            msg["covariance"] = (
-                self.engine.covariances[-1][1].reshape(-1).tolist()
-            )
+            cov = self.engine.covariances[-1][1]
+            # Strict JSON has no NaN/Infinity tokens; a tracking-failure
+            # frame's non-finite covariance would break non-Python
+            # subscribers. Clamp to a huge variance ("unknown").
+            cov = np.where(np.isfinite(cov), cov, 1e12)
+            msg["covariance"] = cov.reshape(-1).tolist()
         if self.visualizer is not None:
-            self.visualizer.add_pose(t, np.asarray(pose), is_kf)
-            if is_kf:
-                from dvo_slam_tpu.utils.visualization import (
-                    point_cloud_from_rgbd,
-                )
+            with self._viz_lock:
+                self.visualizer.add_pose(t, np.asarray(pose), is_kf)
+                if is_kf:
+                    from dvo_slam_tpu.utils.visualization import (
+                        point_cloud_from_rgbd,
+                    )
 
-                pts, colors = point_cloud_from_rgbd(
-                    intensity, depth, self._K, np.asarray(pose), stride=8
-                )
-                self.visualizer.add_point_cloud(pts, colors)
+                    pts, colors = point_cloud_from_rgbd(
+                        intensity, depth, self._K, np.asarray(pose), stride=8
+                    )
+                    self.visualizer.add_point_cloud(pts, colors)
         return msg
 
     def reconfigure(self, tracker_fields: dict) -> dict:
@@ -207,11 +201,16 @@ class SlamNode:
         return {"tracker": dataclasses.asdict(new)}
 
     def handle_cmd(self, cmd: str) -> Optional[dict]:
-        if cmd == "force_keyframe" and self.mode != "odometry":
-            self.engine.force_keyframe()
+        if cmd == "force_keyframe":
+            # No-reply commands must never produce a reply, or the framed
+            # protocol desynchronizes: in odometry mode (no keyframes)
+            # this is a silent no-op, not an error message.
+            if self.mode != "odometry":
+                self.engine.force_keyframe()
             return None
-        if cmd == "reset" and self.mode != "odometry":
-            self.engine.reset()
+        if cmd == "reset":
+            if self.mode != "odometry":
+                self.engine.reset()
             return None
         if cmd in ("finish", "trajectory"):
             if self.mode == "odometry":
@@ -221,7 +220,8 @@ class SlamNode:
             else:
                 traj = self.engine.trajectory()
             if cmd == "finish" and self.visualizer is not None:
-                self.visualizer.finish()
+                with self._viz_lock:
+                    self.visualizer.finish()
             return {
                 "trajectory": [
                     {"t": t, "pose": np.asarray(T).reshape(-1).tolist()}
@@ -233,37 +233,49 @@ class SlamNode:
 
 def serve_connection(sock: socket.socket, node: SlamNode,
                      broadcast: Optional[Broadcast] = None,
-                     first_header: Optional[dict] = None) -> None:
-    """Run one camera session over an accepted socket until finish/EOF."""
-    while True:
-        if first_header is not None:
-            header, first_header = first_header, None
-        else:
-            line = _recv_line(sock)
-            if not line:
-                return
-            header = json.loads(line)
-        if "cmd" in header:
-            if header["cmd"] == "configure":
-                reply = node.reconfigure(header.get("tracker", {}))
+                     first_header: Optional[dict] = None,
+                     rfile=None) -> None:
+    """Run one camera session over an accepted socket until finish/EOF.
+
+    rfile: optional buffered reader already wrapping `sock` (headers and
+    payloads then cost one syscall each instead of byte-wise recv on the
+    per-frame hot path)."""
+    owns_rfile = rfile is None
+    if owns_rfile:
+        rfile = sock.makefile("rb")
+    try:
+        while True:
+            if first_header is not None:
+                header, first_header = first_header, None
             else:
-                reply = node.handle_cmd(header["cmd"])
-            if reply is not None:
-                sock.sendall((json.dumps(reply) + "\n").encode())
-            if header["cmd"] == "finish":
-                return
-            continue
-        w, h = int(header["w"]), int(header["h"])
-        intensity = np.frombuffer(
-            _recv_exact(sock, w * h * 4), "<f4"
-        ).reshape(h, w)
-        depth = np.frombuffer(
-            _recv_exact(sock, w * h * 4), "<f4"
-        ).reshape(h, w)
-        msg = node.handle_frame(float(header["t"]), intensity, depth)
-        sock.sendall((json.dumps(msg) + "\n").encode())
-        if broadcast is not None:
-            broadcast.publish(msg)
+                line = rfile.readline()
+                if not line:
+                    return
+                header = json.loads(line)
+            if "cmd" in header:
+                if header["cmd"] == "configure":
+                    reply = node.reconfigure(header.get("tracker", {}))
+                else:
+                    reply = node.handle_cmd(header["cmd"])
+                if reply is not None:
+                    sock.sendall((json.dumps(reply) + "\n").encode())
+                if header["cmd"] == "finish":
+                    return
+                continue
+            w, h = int(header["w"]), int(header["h"])
+            intensity = np.frombuffer(
+                _read_exact(rfile, w * h * 4), "<f4"
+            ).reshape(h, w)
+            depth = np.frombuffer(
+                _read_exact(rfile, w * h * 4), "<f4"
+            ).reshape(h, w)
+            msg = node.handle_frame(float(header["t"]), intensity, depth)
+            sock.sendall((json.dumps(msg) + "\n").encode())
+            if broadcast is not None:
+                broadcast.publish(msg)
+    finally:
+        if owns_rfile:
+            rfile.close()
 
 
 def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
@@ -280,30 +292,36 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
     """
     broadcast = Broadcast()
     done = threading.Semaphore(0)
+    viz_lock = threading.Lock()  # the visualizer is shared across sessions
 
     class Handler(socketserver.BaseRequestHandler):
         def handle(self):
-            line = _recv_line(self.request)
-            if not line:
-                return
-            header = json.loads(line)
-            if header.get("cmd") == "subscribe":
-                broadcast.add(self.request)
-                # Hold the connection open until the subscriber leaves
-                # (subscribers never send after subscribing).
-                try:
-                    while self.request.recv(1):
-                        pass
-                except OSError:
-                    pass
-                return
-            node = SlamNode(K, tracker_cfg, slam_cfg, mode,
-                            with_covariance, visualizer=visualizer)
+            rfile = self.request.makefile("rb")
             try:
-                serve_connection(self.request, node, broadcast,
-                                 first_header=header)
+                line = rfile.readline()
+                if not line:
+                    return
+                header = json.loads(line)
+                if header.get("cmd") == "subscribe":
+                    broadcast.add(self.request)
+                    # Hold the connection open until the subscriber leaves
+                    # (subscribers never send after subscribing).
+                    try:
+                        while self.request.recv(1):
+                            pass
+                    except OSError:
+                        pass
+                    return
+                node = SlamNode(K, tracker_cfg, slam_cfg, mode,
+                                with_covariance, visualizer=visualizer,
+                                visualizer_lock=viz_lock)
+                try:
+                    serve_connection(self.request, node, broadcast,
+                                     first_header=header, rfile=rfile)
+                finally:
+                    done.release()
             finally:
-                done.release()
+                rfile.close()
 
     base = (socketserver.UnixStreamServer if unix
             else socketserver.TCPServer)
@@ -311,6 +329,16 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
     class Server(socketserver.ThreadingMixIn, base):
         daemon_threads = True
         allow_reuse_address = True
+
+    if unix:
+        # allow_reuse_address is a no-op for AF_UNIX: a socket file left
+        # behind by an unclean exit would fail the bind forever.
+        import os
+
+        try:
+            os.unlink(address)
+        except FileNotFoundError:
+            pass
 
     with Server(address, Handler) as server:
         thread = threading.Thread(target=server.serve_forever, daemon=True)

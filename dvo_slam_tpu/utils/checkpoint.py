@@ -129,6 +129,10 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
         slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg,
                                    enable_loop_closure=enable_loop_closure)
     else:
+        if "carry_present" in z:
+            raise ValueError("checkpoint carries chunked-engine scan state "
+                             "(and no per-frame tracking state) — load "
+                             "with chunked=True")
         slam = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure)
     slam.init(z["kf_poses"][0] if len(z["kf_poses"]) else None)
 

@@ -128,3 +128,18 @@ def pose_to_matrix(t, q):
 def matrix_to_pose(T):
     """4x4 matrix -> (translation (3,), quaternion xyzw (4,))."""
     return np.asarray(T[:3, 3], dtype=np.float64), rot_to_quat(T[:3, :3])
+
+
+def renormalize(T):
+    """Project the rotation block of a (4, 4) transform back onto SO(3)
+    via SVD (f32 device solves drift off the manifold; host pose chains
+    re-project before composing)."""
+    T = np.asarray(T, np.float64)
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    out = np.eye(4)
+    out[:3, :3] = R
+    out[:3, 3] = T[:3, 3]
+    return out
