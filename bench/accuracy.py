@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--ate-bound-m", type=float, default=0.02)
+    ap.add_argument("--margin", type=int, default=None,
+                    help="override pallas window margin (rows)")
     ap.add_argument("--calib-error", type=float, default=0.0,
                     help="relative focal-length miscalibration used for "
                          "tracking (renders use the true K). NOTE: a "
@@ -102,8 +104,11 @@ def main():
                K[2], K[3])
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    kw = {}
+    if args.margin is not None:
+        kw["pallas_margin"] = args.margin
     tracker_cfg = TrackerConfig(
-        sampler_backend="pallas" if on_tpu else "gather"
+        sampler_backend="pallas" if on_tpu else "gather", **kw
     )
     slam_cfg = SlamConfig(
         new_constraint_search_radius=0.35 * args.radius,

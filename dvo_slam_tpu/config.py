@@ -112,15 +112,16 @@ class TrackerConfig:
     sampler_backend: str = "gather"
     pallas_rows_per_tile: int = 8
     # Window margin in rows. Sampling cost scales with the window height
-    # (Hw = rows_per_tile + 2*margin + alignment slack): measured 640x480
-    # odometry fps 700 / 773 / 815 at margin 16 / 8 / 4 (v5e). Margin 4
-    # still leaves +-12 rows of residual-motion slack per band after the
-    # mean-row centering (Hw = 32) — above fine-level residuals once the
-    # coarse levels have aligned, and verified on the heavy-noise accuracy
-    # harness (equal ATE and loop-closure acceptance vs margin 8/16).
-    # Raise for unusually violent motion; margin 2 starts masking real
-    # points (measured ATE degradation).
-    pallas_margin: int = 4
+    # (Hw = round_up(rows_per_tile + 2*margin + 2, 8) + 8): measured
+    # 640x480 odometry fps 700 / 773 / 806 / 840 at margin 16 / 8 / 4 / 3
+    # (v5e). Margin 3 (Hw = 24) still leaves +-9 rows of residual-motion
+    # slack per band after the mean-row centering — above fine-level
+    # residuals once the coarse levels have aligned, and verified on the
+    # heavy-noise accuracy harness (identical iteration counts, both ATE
+    # gates pass, 22 loop edges accepted vs 15 at margin 4). Raise for
+    # unusually violent motion; margin 2 starts masking real points
+    # (measured ATE degradation).
+    pallas_margin: int = 3
     # MXU precision of the one-hot sampling matmul: "default" (single bf16
     # pass; sampling quantization ~2^-9 relative ~ Kinect depth noise at
     # 2 m, absorbed by the Sigma estimate) or "highest" (6-pass, exact to

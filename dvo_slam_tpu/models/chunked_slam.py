@@ -105,11 +105,19 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             self.tracker_cfg, self.slam_cfg,
             force_keyframe=jnp.asarray(force),
         )
-        rel, switch, Zs, infos, entropies, ratios, accepts = jax.device_get((
-            outs["rel_pose"], outs["switch"], outs["Z_switch"],
-            outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
-            outs["accept"],
-        ))
+        fetch = (outs["rel_pose"], outs["switch"], outs["Z_switch"],
+                 outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
+                 outs["accept"])
+        if self._poses_stale:
+            # Piggyback the pending optimized poses on the SAME transfer:
+            # a separate _sync_poses at the first in-chunk switch would
+            # cost one more full round trip per chunk on remoted devices.
+            host = jax.device_get(fetch + (self.graph.poses,))
+            self._apply_poses(host[-1])
+            host = host[:-1]
+        else:
+            host = jax.device_get(fetch)
+        rel, switch, Zs, infos, entropies, ratios, accepts = host
 
         for k in range(n):
             t = float(timestamps[start + k])

@@ -500,7 +500,12 @@ class KeyframeSlam:
         """Blocking fetch of the device-optimized poses into kf_poses."""
         if not self._poses_stale:
             return
-        poses = np.asarray(self.graph.poses, np.float64)
+        self._apply_poses(np.asarray(self.graph.poses, np.float64))
+
+    def _apply_poses(self, poses: np.ndarray):
+        """Mirror already-fetched optimized poses into kf_poses (callers
+        that piggyback the pose fetch onto another transfer)."""
+        poses = np.asarray(poses, np.float64)
         for k in range(len(self.kf_poses)):
             self.kf_poses[k] = se3_np.renormalize(poses[k])
         self._poses_stale = False
