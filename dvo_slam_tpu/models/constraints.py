@@ -184,7 +184,7 @@ def validate_candidates(
             fine.valid_ratio, fine.information,
         ))
 
-        for s, (_, c, _) in enumerate(survivors):
+        for s, (_, c, coarse_T) in enumerate(survivors):
             if bool(fine_nan[s]):
                 continue
             ratio = _entropy_ratio(
@@ -193,6 +193,19 @@ def validate_candidates(
             if ratio < slam_cfg.min_entropy_ratio_fine:
                 continue
             if float(fine_vr[s]) < slam_cfg.min_constraint_ratio:
+                continue
+            # OdometryConstraintVoter on the FINE result too: a fine
+            # re-track can converge into a different (self-similarity)
+            # basin than the cross-validated coarse pose; a fine pose far
+            # from both the graph prediction and the coarse estimate is a
+            # false positive, not refinement.
+            T_fine = np.asarray(fine_T[s], np.float64)
+            if not _odometry_vote(T_fine, c.T_init, slam_cfg):
+                continue
+            fine_step = np.linalg.norm(
+                se3_np.log(T_fine @ se3_np.inverse(coarse_T))
+            )
+            if fine_step > slam_cfg.cross_validation_threshold:
                 continue
             # Tracker returns T: candidate-cam -> new-cam, i.e.
             # p_new = T p_cand. Graph edge convention: Z = T_i^{-1} T_j with

@@ -168,6 +168,22 @@ def _build_system(graph: PoseGraph, use_robust, cauchy_c):
     return H_flat, g_flat, total_chi2, w
 
 
+def _total_chi2(graph: PoseGraph, use_robust, cauchy_c):
+    """Robust total chi2 only — the LM accept test needs residuals, not
+    Jacobians, so this skips the autodiff + 6Mx6M assembly of
+    _build_system (which would double every iteration's cost)."""
+
+    def per_edge(i, j, Z, info, mask):
+        e = edge_residual(graph.poses[i], graph.poses[j], Z)
+        chi2 = e @ info @ e
+        return _robust_edge_weight(chi2, cauchy_c, use_robust) * mask * chi2
+
+    return jax.vmap(per_edge)(
+        graph.edge_i, graph.edge_j, graph.measurements, graph.information,
+        graph.edge_mask.astype(graph.poses.dtype),
+    ).sum()
+
+
 def _apply_delta(poses, delta, num_vertices):
     """Left-multiply per-vertex increments, masked to active vertices."""
     M = poses.shape[0]
@@ -220,7 +236,7 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
         delta = jnp.where(jnp.isfinite(delta).all(), delta, jnp.zeros_like(delta))
         new_poses = _apply_delta(g_cur.poses, delta, g_cur.num_vertices)
         g_new = g_cur._replace(poses=new_poses)
-        _, _, chi2_new, _ = _build_system(g_new, use_robust, c_eff)
+        chi2_new = _total_chi2(g_new, use_robust, c_eff)
 
         accept = chi2_new <= chi2
         graph_next = jax.tree.map(
@@ -236,7 +252,6 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
             "lam": lam,
             "k": carry["k"] + 1,
             "done": done,
-            "chi2": jnp.where(accept, chi2_new, chi2),
         }
 
     init = {
@@ -244,7 +259,6 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
         "lam": jnp.asarray(1e-6, dtype),
         "k": jnp.asarray(0, jnp.int32),
         "done": jnp.asarray(False, bool),
-        "chi2": jnp.asarray(jnp.inf, dtype),
     }
     out = jax.lax.while_loop(cond, body, init)
     final_graph = out["graph"]

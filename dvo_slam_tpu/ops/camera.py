@@ -75,10 +75,17 @@ def project(points, K):
     """
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
     z = points[..., 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    z_safe = _safe_z(z)
     u = fx * points[..., 0] / z_safe + cx
     v = fy * points[..., 1] / z_safe + cy
     return jnp.stack([u, v], axis=-1)
+
+
+def _safe_z(z, eps=1e-8):
+    """Sign-preserving epsilon guard: z in (-eps, 0] clamps to -eps (still
+    behind the camera), [0, eps) to +eps — never flips a behind-the-camera
+    point to the front."""
+    return jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
 
 
 def projection_jacobian(points, K):
@@ -88,7 +95,7 @@ def projection_jacobian(points, K):
     """
     fx, fy = K[0], K[1]
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    z_safe = _safe_z(z)
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
     zeros = jnp.zeros_like(x)

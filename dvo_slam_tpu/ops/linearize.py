@@ -147,7 +147,11 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     X = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
     Y = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
     Z = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
-    zi = 1.0 / jnp.where(jnp.abs(Z) < 1e-8, 1e-8, Z)
+    # Sign-preserving guard (validity requires Z > 1e-6 anyway, but never
+    # flip a behind-the-camera point to the front).
+    zi = 1.0 / jnp.where(
+        jnp.abs(Z) < 1e-8, jnp.where(Z < 0, -1e-8, 1e-8), Z
+    )
     u = fx * X * zi + cx
     v = fy * Y * zi + cy
 
@@ -187,15 +191,12 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     # --- residuals + validity ---
     rI = i2 - ref.i1
     rZ = z2 - Z
-    valid = (
-        ref.selected
-        & inb
-        & (Z > 1e-6)
-        & jnp.isfinite(rI)
-        & jnp.isfinite(rZ)
-        & jnp.isfinite(gzx)
-        & jnp.isfinite(gzy)
-    )
+    valid = ref.selected & inb & (Z > 1e-6) & jnp.isfinite(rI)
+    if cfg.use_depth:
+        # Photometric-only tracking must NOT require finite current-frame
+        # depth: pixels warping onto depth holes are exactly the ones the
+        # intensity-only mode exists to keep.
+        valid &= jnp.isfinite(rZ) & jnp.isfinite(gzx) & jnp.isfinite(gzy)
     vF = valid.astype(dtype)
     rI = jnp.where(valid, rI, 0.0)
     rZ = jnp.where(valid, rZ, 0.0) if cfg.use_depth else jnp.zeros_like(rI)

@@ -218,13 +218,18 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     return out[:channels], valid
 
 
-def slab_to_cmajor(slab, dtype=None):
+def slab_to_cmajor(slab, dtype=None, mask_channels=None):
     """(C, H, W) -> ((C+1)*Hpad, Wp) channel-blocked kernel layout.
 
     dtype: optional storage dtype. bfloat16 halves the per-band window DMA
     traffic and is LOSSLESS relative to DEFAULT-precision sampling (the
     MXU quantizes its inputs to bf16 there regardless) — use it whenever
     pallas_precision == "default"; keep f32 for "highest".
+
+    mask_channels: channel indices whose finiteness defines point validity
+    (default: all). Photometric-only tracking (use_depth=False) passes the
+    intensity channels so depth holes don't invalidate photometrically
+    valid pixels — matching the gather path's validity semantics.
 
     Once per frame/level (a pad + reshape — the slab is already
     channel-major): channel c occupies rows [c*Hpad, c*Hpad + H) with
@@ -241,7 +246,8 @@ def slab_to_cmajor(slab, dtype=None):
     semantics without NaNs ever entering the MXU.
     """
     C, H, W = slab.shape
-    finite = jnp.isfinite(slab).all(axis=0).astype(slab.dtype)
+    mask_src = slab if mask_channels is None else slab[list(mask_channels)]
+    finite = jnp.isfinite(mask_src).all(axis=0).astype(slab.dtype)
     slab = jnp.concatenate(
         [jnp.where(jnp.isfinite(slab), slab, 0.0), finite[None]], axis=0
     )

@@ -61,6 +61,10 @@ def rpe(estimated, groundtruth, delta=1):
     """
     trans_err, rot_err = [], []
     n = len(estimated)
+    if delta < 1 or n - delta < 1:
+        raise ValueError(
+            f"rpe needs at least delta+1 poses (got {n} poses, delta={delta})"
+        )
     for i in range(n - delta):
         est_rel = se3_np.inverse(estimated[i]) @ estimated[i + delta]
         gt_rel = se3_np.inverse(groundtruth[i]) @ groundtruth[i + delta]

@@ -333,3 +333,29 @@ def test_scale_warm_start_matches_cold():
     np.testing.assert_allclose(np.asarray(r_warm.sigma),
                                np.asarray(r_cold.sigma),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_photometric_only_ignores_depth_holes():
+    """use_depth=False must keep photometrically valid pixels whose
+    CURRENT-frame depth is invalid (depth holes are the reason to disable
+    the depth residual in the first place)."""
+    import dataclasses
+
+    xi = np.array([0.008, -0.004, 0.006, 0.003, -0.002, 0.004])
+    ref, cur, T_true = _render_pair(xi)
+    # Punch a large depth hole into the current frame; intensity intact.
+    z_holed = cur[1].copy()
+    z_holed[10:40, 20:60] = np.nan
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=30, use_depth=False)
+    res_holed = _track(ref, (cur[0], z_holed), cfg)
+    res_full = _track(ref, cur, cfg)
+    # The hole must not cost (many) valid constraints...
+    assert float(res_holed.valid_pixels) > 0.9 * float(res_full.valid_pixels)
+    # ...and photometric tracking still recovers the pose.
+    assert _pose_error(res_holed.transformation, T_true) < 1e-3
+
+    # Contrast: the bivariate mode rightly drops the hole's pixels.
+    cfg_d = dataclasses.replace(cfg, use_depth=True)
+    res_d = _track(ref, (cur[0], z_holed), cfg_d)
+    assert float(res_d.valid_pixels) < float(res_holed.valid_pixels)
