@@ -130,6 +130,14 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                     accepted=bool(accepts[k]),
                     keyframe_switch=bool(switch[k]),
                 )
+            # Entropy bookkeeping mirrors KeyframeSlam.update exactly:
+            # entropy_first is recorded for any accepted frame BEFORE the
+            # switch decision (the per-frame engine sets it even on the
+            # frame that triggers the switch — the constraint voters'
+            # entropy_avg falls back to it), sum/count only on non-switch.
+            h = float(entropies[k])
+            if bool(accepts[k]) and np.isfinite(h) and kf.entropy_first is None:
+                kf.entropy_first = h
             if bool(switch[k]):
                 # Replay of KeyframeSlam's switch branch: anchor the new
                 # keyframe on the (synced) optimized parent pose, edge into
@@ -149,12 +157,7 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 out_poses.append(self._world_pose(new_kf.idx, np.eye(4)))
                 continue
 
-            # Entropy bookkeeping for the constraint voters (entropy_avg),
-            # mirroring KeyframeSlam.update's non-switch branch.
-            h = float(entropies[k])
             if bool(accepts[k]) and np.isfinite(h):
-                if kf.entropy_first is None:
-                    kf.entropy_first = h
                 kf.entropy_sum += h
                 kf.entropy_count += 1
             T_kf_cur = np.asarray(rel[k], np.float64)

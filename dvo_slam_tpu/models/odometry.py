@@ -55,9 +55,15 @@ def track_sequence(intensities, depths, K, cfg: TrackerConfig):
         # seed with the previous increment) — typically halves iterations.
         T0 = last_rel if cfg.use_initial_estimate else jnp.eye(4)
         res = dense_tracker.track(prev_pyr, cur_pyr, Ks, T0, cfg)
-        out = (res.transformation, res.entropy, res.valid_ratio,
+        # NaN guard, same as OdometryTracker.update: on tracking failure
+        # fall back to the constant-velocity increment for both the output
+        # chain and the next frame's warm start — otherwise one bad frame
+        # would poison every subsequent T0 through the carry (is_nan still
+        # reports the failure in the stats stream).
+        rel = jnp.where(res.is_nan(), last_rel, res.transformation)
+        out = (rel, res.entropy, res.valid_ratio,
                res.iterations, res.is_nan())
-        return (cur_pyr, res.transformation), out
+        return (cur_pyr, rel), out
 
     _, (rels, entropy, valid_ratio, iterations, nan) = jax.lax.scan(
         step, (pyr0, jnp.eye(4)), (intensities[1:], depths[1:])

@@ -64,11 +64,18 @@ class Broadcast:
     """Thread-safe fan-out of pose messages to subscriber sockets
     (the TCPROS publish side of the `rgbd/pose` topic)."""
 
+    # A subscriber that stops reading fills its TCP buffer and would block
+    # sendall forever — inside the lock, wedging every camera session.
+    # Bound each send and drop the slow subscriber instead (a live pose
+    # feed is only useful to a client that keeps up).
+    SEND_TIMEOUT_S = 2.0
+
     def __init__(self):
         self._lock = threading.Lock()
         self._subs: list[socket.socket] = []
 
     def add(self, sock: socket.socket) -> None:
+        sock.settimeout(self.SEND_TIMEOUT_S)
         with self._lock:
             self._subs.append(sock)
 
@@ -81,10 +88,14 @@ class Broadcast:
             for s in self._subs:
                 try:
                     s.sendall(data)
-                except OSError:
+                except OSError:  # includes TimeoutError: drop slow/stalled
                     dead.append(s)
             for s in dead:
                 self._subs.remove(s)
+                try:
+                    s.close()
+                except OSError:
+                    pass
 
     def close_all(self) -> None:
         """Disconnect every subscriber (server shutdown): unblocks their
@@ -305,10 +316,16 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                 if header.get("cmd") == "subscribe":
                     broadcast.add(self.request)
                     # Hold the connection open until the subscriber leaves
-                    # (subscribers never send after subscribing).
+                    # (subscribers never send after subscribing). The
+                    # broadcast send-timeout applies to this recv too —
+                    # an idle-but-healthy subscriber just keeps waiting.
                     try:
-                        while self.request.recv(1):
-                            pass
+                        while True:
+                            try:
+                                if not self.request.recv(1):
+                                    break
+                            except TimeoutError:
+                                continue
                     except OSError:
                         pass
                     return

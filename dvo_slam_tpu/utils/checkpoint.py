@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import numpy as np
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def save_slam(path: str, slam) -> None:
     """Serialize a models.keyframe_tracker.KeyframeSlam to .npz."""
+    from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
     from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
 
     assert isinstance(slam, KeyframeSlam)
@@ -25,11 +26,18 @@ def save_slam(path: str, slam) -> None:
     num_levels = slam.tracker_cfg.num_levels
     data = {
         "version": np.asarray(_FORMAT_VERSION),
+        "engine_chunked": np.asarray(isinstance(slam, ChunkedKeyframeSlam)),
         "num_levels": np.asarray(num_levels),
         "first_level": np.asarray(slam.tracker_cfg.first_level),
         "last_level": np.asarray(slam.tracker_cfg.last_level),
+        "local_map_capacity": np.asarray(slam.slam_cfg.local_map_capacity),
         "last_odo": np.asarray(slam._last_odo),
         "force_next": np.asarray(slam._force_next),
+        # The anchor pose for the next fresh keyframe: what update() uses
+        # while _initialized is False (initial pose, or the pose set by
+        # reset()). Without it a post-reset resume would re-anchor at the
+        # FIRST keyframe's pose.
+        "T0": np.asarray(getattr(slam, "_T0", np.eye(4)), np.float64),
         "num_keyframes": np.asarray(len(slam.keyframes)),
         "num_loop_edges": np.asarray(slam.num_loop_edges),
         "kf_poses": np.stack(slam.kf_poses) if slam.kf_poses else np.zeros((0, 4, 4)),
@@ -79,9 +87,11 @@ def save_slam(path: str, slam) -> None:
         if slam._prev_pyr is not None:
             data[f"prev_pyr_{lvl}"] = np.asarray(slam._prev_pyr[lvl])
     # Chunked engine: the device scan carry (models/chunked_slam.py).
+    # carry_present is False for a chunked engine checkpointed before its
+    # first chunk — engine identity is carried by engine_chunked above.
     carry = getattr(slam, "_carry", None)
+    data["carry_present"] = np.asarray(carry is not None)
     if carry is not None:
-        data["carry_present"] = np.asarray(True)
         for lvl in range(num_levels):
             data[f"carry_kf_{lvl}"] = np.asarray(carry["kf"][lvl])
             data[f"carry_prev_{lvl}"] = np.asarray(carry["prev"][lvl])
@@ -107,7 +117,11 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
     )
 
     z = np.load(path, allow_pickle=False)
-    assert int(z["version"]) == _FORMAT_VERSION, "checkpoint format mismatch"
+    if int(z["version"]) != _FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format version {int(z['version'])} != "
+            f"{_FORMAT_VERSION} (this reader)"
+        )
     tracker_cfg = tracker_cfg or TrackerConfig()
     slam_cfg = slam_cfg or SlamConfig()
     for field in ("num_levels", "first_level", "last_level"):
@@ -119,27 +133,45 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
                 f"but loading with {field}={passed}; pass a matching "
                 "TrackerConfig"
             )
+    stored_lm = int(z["local_map_capacity"])
+    n_lm = len(z["lm_frame_indices"])
+    if n_lm + 1 > slam_cfg.local_map_capacity:
+        # LocalMap.add_frame silently drops frames once full — a smaller
+        # capacity would truncate the pending window instead of resuming it.
+        raise ValueError(
+            f"checkpoint has a {n_lm}-frame pending local-map window "
+            f"(written with local_map_capacity={stored_lm}) but loading "
+            f"with local_map_capacity={slam_cfg.local_map_capacity}; pass "
+            "a SlamConfig whose window can hold it"
+        )
+    if bool(z["engine_chunked"]) != bool(chunked):
+        raise ValueError(
+            "checkpoint was written by the "
+            + ("chunked" if bool(z["engine_chunked"]) else "per-frame")
+            + f" engine — load with chunked={bool(z['engine_chunked'])}"
+        )
     if chunked:
         from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 
-        if "carry_present" not in z:
-            raise ValueError("checkpoint has no scan carry; it was written "
-                             "by the per-frame engine — load with "
-                             "chunked=False")
         slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg,
                                    enable_loop_closure=enable_loop_closure)
     else:
-        if "carry_present" in z:
-            raise ValueError("checkpoint carries chunked-engine scan state "
-                             "(and no per-frame tracking state) — load "
-                             "with chunked=True")
         slam = KeyframeSlam(K, tracker_cfg, slam_cfg, enable_loop_closure)
-    slam.init(z["kf_poses"][0] if len(z["kf_poses"]) else None)
+    slam.init(np.asarray(z["T0"], np.float64))
 
     n_kf = int(z["num_keyframes"])
     num_levels = tracker_cfg.num_levels
+    # Respect the HBM residency budget while restoring: only the newest
+    # `resident_keyframes` pyramids go to the device; older ones stay host
+    # numpy (exactly where eviction would put them) — otherwise resuming a
+    # long run would stage EVERY pyramid through HBM before evicting.
+    first_resident = max(0, n_kf - slam_cfg.resident_keyframes)
     for k in range(n_kf):
-        pyr = tuple(jnp.asarray(z[f"kf_pyr_{lvl}"][k]) for lvl in range(num_levels))
+        levels = [z[f"kf_pyr_{lvl}"][k] for lvl in range(num_levels)]
+        resident = k >= first_resident
+        pyr = tuple(
+            jnp.asarray(a) if resident else np.asarray(a) for a in levels
+        )
         ef = float(z["kf_entropy_first"][k])
         slam.keyframes.append(
             Keyframe(
@@ -149,6 +181,7 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
                 entropy_first=None if np.isnan(ef) else ef,
                 entropy_sum=float(z["kf_entropy_sum"][k]),
                 entropy_count=int(z["kf_entropy_count"][k]),
+                resident=resident,
             )
         )
         slam.kf_poses.append(np.asarray(z["kf_poses"][k], np.float64))
@@ -193,7 +226,7 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
     slam._last_odo = np.asarray(z["last_odo"], np.float64)
     slam._force_next = bool(z["force_next"])
     slam._initialized = bool(z["initialized"])
-    if chunked:
+    if chunked and bool(z["carry_present"]):
         num_levels = tracker_cfg.num_levels
         slam._carry = {
             "kf": tuple(jnp.asarray(z[f"carry_kf_{lvl}"])

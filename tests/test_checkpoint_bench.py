@@ -57,6 +57,114 @@ def test_checkpoint_resume_equivalence(tmp_path):
         np.testing.assert_allclose(Ta, Tc, atol=1e-5)
 
 
+def test_checkpoint_preserves_reset_anchor(tmp_path):
+    """A checkpoint taken after reset() must resume anchored at the reset
+    pose, not at the first keyframe's pose."""
+    frames, poses = _frames(6)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames[:4]):
+        slam.update(intensity, depth, i / 30.0)
+    from dvo_slam_tpu.utils import se3_np
+
+    T_reset = poses[0] @ se3_np.exp(np.array([0.3, 0.1, -0.2, 0.05, 0.02, -0.04]))
+    slam.reset(T_reset)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_slam(path, slam)
+
+    slam_r = checkpoint.load_slam(path, K_TUPLE, TRACKER, SLAM,
+                                  enable_loop_closure=False)
+    assert not slam_r._initialized
+    # The next frame becomes a fresh anchor keyframe at the reset pose.
+    T_next = slam_r.update(frames[4][0], frames[4][1], 4 / 30.0)
+    np.testing.assert_allclose(T_next, T_reset, atol=1e-9)
+
+
+def test_checkpoint_engine_mismatch_and_empty_chunked(tmp_path):
+    """Engine identity is recorded explicitly: a chunked checkpoint taken
+    before the first chunk (no scan carry yet) still restores as chunked,
+    and loading with the wrong engine flag raises."""
+    import pytest
+
+    from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+
+    slam = ChunkedKeyframeSlam(K_TUPLE, TRACKER, SLAM,
+                               enable_loop_closure=False)
+    slam.init()
+    path = str(tmp_path / "empty_chunked.npz")
+    checkpoint.save_slam(path, slam)
+    with pytest.raises(ValueError, match="chunked"):
+        checkpoint.load_slam(path, K_TUPLE, TRACKER, SLAM, chunked=False)
+    slam_r = checkpoint.load_slam(path, K_TUPLE, TRACKER, SLAM,
+                                  enable_loop_closure=False, chunked=True)
+    assert isinstance(slam_r, ChunkedKeyframeSlam)
+    assert slam_r._carry is None
+    # And the restored engine runs.
+    frames, _ = _frames(3)
+    out = slam_r.update_chunk(
+        np.stack([f[0] for f in frames]), np.stack([f[1] for f in frames]),
+        [i / 30.0 for i in range(3)],
+    )
+    assert len(out) == 3 and all(np.isfinite(T).all() for T in out)
+
+    # Per-frame checkpoints reject chunked loading symmetrically.
+    slam_p = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam_p.init()
+    path_p = str(tmp_path / "perframe.npz")
+    checkpoint.save_slam(path_p, slam_p)
+    with pytest.raises(ValueError, match="per-frame"):
+        checkpoint.load_slam(path_p, K_TUPLE, TRACKER, SLAM, chunked=True)
+
+
+def test_checkpoint_restore_respects_residency_budget(tmp_path):
+    """Restoring a long run must not stage every keyframe pyramid through
+    HBM: keyframes beyond resident_keyframes come back as host numpy."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(SLAM, resident_keyframes=2)
+    frames, poses = _frames(8)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, cfg, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        if i and i % 2 == 0:
+            slam.force_keyframe()
+        slam.update(intensity, depth, i / 30.0)
+    assert len(slam.keyframes) >= 4
+    path = str(tmp_path / "evicted.npz")
+    checkpoint.save_slam(path, slam)
+    slam_r = checkpoint.load_slam(path, K_TUPLE, TRACKER, cfg,
+                                  enable_loop_closure=False)
+    n = len(slam_r.keyframes)
+    for k, kf in enumerate(slam_r.keyframes):
+        expect_resident = k >= n - cfg.resident_keyframes
+        assert kf.resident == expect_resident, k
+        is_device = isinstance(kf.pyramid[0], jax.Array)
+        assert is_device == expect_resident, k
+
+
+def test_checkpoint_local_map_capacity_check(tmp_path):
+    """A pending local-map window larger than the loader's capacity must
+    raise, not silently truncate."""
+    import dataclasses
+
+    import pytest
+
+    frames, poses = _frames(6)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        slam.update(intensity, depth, i / 30.0)
+    assert len(slam._local_map) >= 3
+    path = str(tmp_path / "window.npz")
+    checkpoint.save_slam(path, slam)
+    small = dataclasses.replace(SLAM, local_map_capacity=2)
+    with pytest.raises(ValueError, match="local_map_capacity"):
+        checkpoint.load_slam(path, K_TUPLE, TRACKER, small,
+                             enable_loop_closure=False)
+
+
 def test_benchmark_synthetic_odometry():
     from dvo_slam_tpu import benchmark
 

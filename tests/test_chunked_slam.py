@@ -119,7 +119,7 @@ def test_chunked_checkpoint_resume_equivalence(tmp_path):
     per_frame.update(seq_i[0], seq_z[0], ts[0])
     path2 = str(tmp_path / "perframe.npz")
     checkpoint.save_slam(path2, per_frame)
-    with pytest.raises(ValueError, match="carry"):
+    with pytest.raises(ValueError, match="per-frame"):
         checkpoint.load_slam(path2, K, TRACKER, SLAM, chunked=True)
 
 

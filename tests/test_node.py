@@ -42,6 +42,62 @@ def _wait_socket(path, client_cls=node.StreamClient, tries=100):
     raise TimeoutError(path)
 
 
+def test_broadcast_drops_stalled_subscriber(monkeypatch):
+    """A subscriber that stops reading must be dropped after the send
+    timeout instead of wedging publish (and every camera session) forever."""
+    import socket
+    import time
+
+    monkeypatch.setattr(node.Broadcast, "SEND_TIMEOUT_S", 0.2)
+    bcast = node.Broadcast()
+
+    stalled_srv, stalled_cli = socket.socketpair()
+    healthy_srv, healthy_cli = socket.socketpair()
+    # Tiny buffers so the stalled peer's pipe fills quickly.
+    for s in (stalled_srv, stalled_cli):
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+    bcast.add(stalled_srv)
+    bcast.add(healthy_srv)
+
+    msg = {"pose": list(range(2000))}  # ~10 KB per publish
+    drained = []
+
+    def drain():
+        healthy_cli.settimeout(5.0)
+        try:
+            while True:
+                chunk = healthy_cli.recv(65536)
+                if not chunk:
+                    break
+                drained.append(chunk)
+        except OSError:
+            pass
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    start = time.monotonic()
+    for _ in range(40):  # enough to overflow the stalled pipe many times
+        bcast.publish(msg)
+    elapsed = time.monotonic() - start
+    # One 0.2 s timeout fires when the stalled pipe first fills; after the
+    # drop, publishing is unblocked (nowhere near 40 x 0.2 s).
+    assert elapsed < 4.0, elapsed
+    with bcast._lock:
+        assert stalled_srv not in bcast._subs
+        assert healthy_srv in bcast._subs
+    healthy_srv.close()
+    t.join(timeout=5)
+    # The healthy subscriber received a full, uncorrupted feed.
+    lines = b"".join(drained).decode().strip().split("\n")
+    assert len(lines) == 40
+    import json as _json
+
+    assert all(_json.loads(line)["pose"][:3] == [0, 1, 2] for line in lines)
+    for s in (stalled_cli, healthy_cli):
+        s.close()
+
+
 def test_live_slam_session(tmp_path):
     """Stream a synthetic sequence through the socket node: per-frame pose
     messages track groundtruth, force_keyframe works, finish returns the
