@@ -78,14 +78,29 @@ def run_sequence(
     checkpoint_out / resume: slam/keyframe modes — save the full SLAM
     state (.npz) after the frame loop (pre-finish, i.e. the resumable
     streaming state) / start from a saved state instead of fresh.
+
+    The sequence is consumed as a STREAM: only the 2-frame warmup buffer
+    (plus, in chunked mode, one chunk) is resident at a time, so hour-long
+    sequences don't need gigabytes of host RAM. `groundtruth` may be a
+    per-frame list (None entries excluded) or a callable timestamp -> pose
+    (None when unmatched) — the callable form pairs with streaming input.
     """
-    frames = list(frame_iter)
-    if not frames:
+    import itertools
+
+    it = iter(frame_iter)
+    head = list(itertools.islice(it, 2))  # warmup buffer
+    if not head:
         raise ValueError("empty sequence")
+    stream = itertools.chain(head, it)
+    gt_fn = groundtruth if callable(groundtruth) else None
 
     t0_pose = None
-    if groundtruth is not None and groundtruth[0] is not None:
+    if gt_fn is not None:
+        t0_pose = gt_fn(head[0][0])
+    elif groundtruth is not None and groundtruth[0] is not None:
         t0_pose = groundtruth[0]
+
+    num_frames = 0
 
     if mode == "odometry":
         from dvo_slam_tpu.models.odometry import OdometryTracker
@@ -93,13 +108,14 @@ def run_sequence(
         odo = OdometryTracker(K, tracker_cfg,
                               collect_covariance=covariance_out is not None)
         odo.init(t0_pose)
-        if warmup and len(frames) >= 2:
+        if warmup and len(head) >= 2:
             warm = OdometryTracker(K, tracker_cfg)
-            for ts, intensity, depth in frames[:2]:
+            for ts, intensity, depth in head:
                 warm.update(intensity, depth, ts)
         start = time.perf_counter()
-        for ts, intensity, depth in frames:
+        for ts, intensity, depth in stream:
             odo.update(intensity, depth, ts)
+            num_frames += 1
         elapsed = time.perf_counter() - start
         traj = odo.trajectory
         num_keyframes = 0
@@ -126,7 +142,17 @@ def run_sequence(
             slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg_c,
                                        enable_loop_closure=(mode == "slam"))
             slam.init(t0_pose)
-        if warmup and len(frames) >= 2:
+
+        warm = None
+        warmed_scans = set()
+
+        def _warm_chunk(n, t0):
+            sel = [head[i % len(head)] for i in range(n)]
+            return (np.stack([f[1] for f in sel]),
+                    np.stack([f[2] for f in sel]),
+                    [t0 + i / 30.0 for i in range(n)])
+
+        if warmup and len(head) >= 2:
             warm_cfg = _dc.replace(
                 slam_cfg_c,
                 min_constraint_distance=1,
@@ -138,36 +164,49 @@ def run_sequence(
             warm = ChunkedKeyframeSlam(K, tracker_cfg, warm_cfg,
                                        enable_loop_closure=(mode == "slam"))
             warm.init()
-
-            def _warm_chunk(n, t0):
-                sel = [frames[i % 2] for i in range(n)]
-                return (np.stack([f[1] for f in sel]),
-                        np.stack([f[2] for f in sel]),
-                        [t0 + i / 30.0 for i in range(n)])
-
-            # Every scan length the timed loop hits: first chunk (init
-            # consumes frame 0 -> scan n-1), steady chunks (scan n), tail.
-            warm.update_chunk(*_warm_chunk(chunk_size, 0.0))
+            warm.update_chunk(*_warm_chunk(1, 0.0))  # consume init frame
+            # Steady-state scan length + the keyframe-switch replay:
+            # pyramid build + graph solve (+ the loop-closure validation
+            # batch at 3 keyframes in slam mode).
             warm.update_chunk(*_warm_chunk(chunk_size, 1.0))
-            tail = len(frames) % chunk_size
-            if tail:
-                warm.update_chunk(*_warm_chunk(tail, 2.0))
-            # Keyframe-switch replay: pyramid build + graph solve (+ the
-            # loop-closure validation batch at 3 keyframes in slam mode).
+            warm.force_keyframe()
+            warm.update_chunk(*_warm_chunk(chunk_size, 2.0))
             warm.force_keyframe()
             warm.update_chunk(*_warm_chunk(chunk_size, 3.0))
-            warm.force_keyframe()
-            warm.update_chunk(*_warm_chunk(chunk_size, 4.0))
             warm.finish()
-        start = time.perf_counter()
-        for c in range(0, len(frames), chunk_size):
-            chunk = frames[c:c + chunk_size]
+            warmed_scans.add(chunk_size)
+
+        # Per-chunk timing so non-steady scan lengths (the fresh first
+        # chunk — init consumes a frame, scan n-1 — and the short tail)
+        # can be compiled OUTSIDE the timed region right before their
+        # chunk. A single start/stop timer would charge those XLA
+        # compiles to the benchmark.
+        elapsed = 0.0
+        fresh_first = resume is None
+        warm_t = 10.0
+        buf = []
+        for frame in itertools.chain(stream, [None]):
+            if frame is not None:
+                buf.append(frame)
+                if len(buf) < chunk_size:
+                    continue
+            if not buf:
+                continue
+            scan_len = len(buf) - 1 if fresh_first else len(buf)
+            fresh_first = False
+            if warm is not None and scan_len > 0 and scan_len not in warmed_scans:
+                warm.update_chunk(*_warm_chunk(scan_len, warm_t))
+                warm_t += 1.0
+                warmed_scans.add(scan_len)
+            t_chunk = time.perf_counter()
             slam.update_chunk(
-                np.stack([f[1] for f in chunk]),
-                np.stack([f[2] for f in chunk]),
-                [f[0] for f in chunk],
+                np.stack([f[1] for f in buf]),
+                np.stack([f[2] for f in buf]),
+                [f[0] for f in buf],
             )
-        elapsed = time.perf_counter() - start
+            elapsed += time.perf_counter() - t_chunk
+            num_frames += len(buf)
+            buf = []
         if checkpoint_out:
             from dvo_slam_tpu.utils import checkpoint
 
@@ -193,7 +232,7 @@ def run_sequence(
         # coarse+fine loop-closure validators, and the final optimization
         # (the reference amortizes nothing, but its first frame costs
         # microseconds, not an XLA compile).
-        if warmup and len(frames) >= 2:
+        if warmup and len(head) >= 2:
             warm_cfg = dataclasses.replace(
                 slam_cfg,
                 min_constraint_distance=1,
@@ -205,7 +244,7 @@ def run_sequence(
             warm = KeyframeSlam(K, tracker_cfg, warm_cfg,
                                 enable_loop_closure=(mode == "slam"))
             warm.init()
-            (_, i0, d0), (_, i1, d1) = frames[0], frames[1]
+            (_, i0, d0), (_, i1, d1) = head[0], head[1]
             warm.update(i0, d0, 0.0)
             warm.update(i1, d1, 1 / 30.0)
             warm.force_keyframe()
@@ -214,8 +253,9 @@ def run_sequence(
             warm.update(i1, d1, 3 / 30.0)  # 3rd keyframe: validation batch
             warm.finish()  # final-optimization variant
         start = time.perf_counter()
-        for ts, intensity, depth in frames:
+        for ts, intensity, depth in stream:
             slam.update(intensity, depth, ts)
+            num_frames += 1
         elapsed = time.perf_counter() - start
         if checkpoint_out:
             from dvo_slam_tpu.utils import checkpoint
@@ -229,6 +269,11 @@ def run_sequence(
     est = [T for _, T in traj]
     if trajectory_out:
         tum.write_trajectory(trajectory_out, timestamps, est)
+
+    if gt_fn is not None:
+        # Streaming groundtruth: look up per actually-processed frame (the
+        # trajectory's own timestamps), robust to frames the loader skipped.
+        groundtruth = [gt_fn(t) for t in timestamps[-num_frames:]]
 
     ate = rpe_t = rpe_r = None
     if groundtruth is not None:
@@ -244,8 +289,8 @@ def run_sequence(
             rpe_t, rpe_r = evaluate.rpe(est_m, gt_m)
 
     return BenchmarkResult(
-        num_frames=len(frames),
-        fps=len(frames) / elapsed,
+        num_frames=num_frames,
+        fps=num_frames / elapsed,
         elapsed_s=elapsed,
         ate_rmse_m=ate,
         rpe_trans_m=rpe_t,
@@ -273,23 +318,18 @@ def run_tum_dataset(
 
     ds = tum.TumDataset(dataset_dir)
     K = intrinsics or camera.TUM_FR1
+    n = len(ds) if max_frames is None else min(max_frames, len(ds))
 
-    def frame_iter():
-        n = len(ds) if max_frames is None else min(max_frames, len(ds))
-        for i in range(n):
-            ts, intensity, depth = ds[i]
-            yield ts, intensity, depth
-
-    gt = None
-    if ds.groundtruth is not None:
-        # Frames without a close groundtruth match stay None and are
-        # excluded from ATE/RPE (the TUM evaluate_ate/evaluate_rpe
-        # behaviour) instead of polluting the alignment with identities.
-        n = len(ds) if max_frames is None else min(max_frames, len(ds))
-        gt = [ds.groundtruth_pose(ds.timestamp(i)) for i in range(n)]
+    # Streamed frames with background decode (native C++ prefetch thread
+    # when available) — run_sequence never holds the decoded sequence in
+    # RAM. Groundtruth is a timestamp lookup: frames without a close match
+    # evaluate to None and are excluded from ATE/RPE (the TUM
+    # evaluate_ate/evaluate_rpe behaviour), and lookup-by-timestamp stays
+    # aligned even when the loader skips a corrupt frame.
+    gt = ds.groundtruth_pose if ds.groundtruth is not None else None
 
     return run_sequence(
-        frame_iter(), K, tracker_cfg, slam_cfg,
+        ds.prefetch_iter(limit=n), K, tracker_cfg, slam_cfg,
         groundtruth=gt, mode=mode, trajectory_out=trajectory_out,
         covariance_out=covariance_out,
         checkpoint_out=checkpoint_out, resume=resume,

@@ -17,6 +17,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libdvo_native.so")
 _lib = None
+_build_failed = False  # a failed `make` is cached: callers probe per frame
 
 
 class NativeUnavailable(RuntimeError):
@@ -24,14 +25,18 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> bool:
+    global _build_failed
     try:
         subprocess.run(
             ["make", "-C", _DIR, "libdvo_native.so"],
             check=True, capture_output=True, timeout=240,
         )
-        return os.path.exists(_LIB_PATH)
+        if os.path.exists(_LIB_PATH):
+            return True
     except Exception:
-        return False
+        pass
+    _build_failed = True
+    return False
 
 
 def load_library(auto_build: bool = True):
@@ -39,6 +44,11 @@ def load_library(auto_build: bool = True):
     global _lib
     if _lib is not None:
         return _lib
+    if _build_failed:
+        # Don't re-run a failing compiler once per frame (available() is
+        # probed inside per-frame loaders; `make` per call would turn a
+        # minutes-long dataset run into hours).
+        raise NativeUnavailable("libdvo_native.so build failed earlier")
     if not os.path.exists(_LIB_PATH) and auto_build:
         _build()
     if not os.path.exists(_LIB_PATH):
@@ -150,6 +160,11 @@ class PrefetchLoader:
 
     def __iter__(self):
         while True:
+            if not self.handle:
+                # close() already ran (e.g. the with-block exited while a
+                # paused iterator survives) — passing NULL into the C ABI
+                # would dereference null in the loader thread.
+                raise RuntimeError("PrefetchLoader is closed")
             intensity = np.empty((self.height, self.width), np.float32)
             depth = np.empty((self.height, self.width), np.float32)
             idx = self.lib.dvo_loader_next(
@@ -167,3 +182,11 @@ class PrefetchLoader:
         if self.handle:
             self.lib.dvo_loader_destroy(self.handle)
             self.handle = None
+
+    def __del__(self):
+        # Last-resort cleanup for loaders used without the context manager:
+        # the C++ decode thread would otherwise outlive the object.
+        try:
+            self.close()
+        except Exception:
+            pass

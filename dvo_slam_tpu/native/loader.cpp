@@ -48,6 +48,13 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
   long n = std::ftell(f);
+  // fopen accepts directories on Linux; ftell then returns -1 or garbage.
+  // A bogus size must become a clean error, not a 2^64-byte resize whose
+  // bad_alloc would escape the C ABI and terminate the process.
+  if (n < 0 || n > (1L << 31)) {
+    std::fclose(f);
+    return false;
+  }
   std::fseek(f, 0, SEEK_SET);
   out.resize(size_t(n));
   size_t got = std::fread(out.data(), 1, size_t(n), f);
@@ -80,6 +87,7 @@ bool decode_png(const std::vector<uint8_t>& file, Image& img,
     const uint8_t* type = &file[pos + 4];
     const uint8_t* payload = &file[pos + 8];
     if (!std::memcmp(type, "IHDR", 4)) {
+      if (len < 13) { err = "truncated IHDR"; return false; }
       img.width = int(read_be32(payload));
       img.height = int(read_be32(payload + 4));
       img.bit_depth = payload[8];

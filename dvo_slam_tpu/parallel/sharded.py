@@ -35,10 +35,17 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     """Build a ('batch', 'pixel') mesh over the available devices."""
     devices = np.asarray(jax.devices())
     n = n_devices or len(devices)
-    if dp is None or sp is None:
-        sp = sp or (2 if n % 2 == 0 and n > 1 else 1)
+    # Derive only the missing axis — a caller-supplied dp or sp is honored
+    # (make_mesh(dp=8) means pure batch-parallel, not a (4,2) mesh).
+    if dp is None and sp is None:
+        sp = 2 if n % 2 == 0 and n > 1 else 1
         dp = n // sp
-    assert dp * sp == n, (dp, sp, n)
+    elif dp is None:
+        dp = n // sp
+    elif sp is None:
+        sp = n // dp
+    if dp * sp != n:
+        raise ValueError(f"dp*sp must equal n_devices: {dp}*{sp} != {n}")
     return Mesh(devices[:n].reshape(dp, sp), ("batch", "pixel"))
 
 

@@ -52,7 +52,13 @@ def save_g2o(path: str, graph) -> None:
 
 
 def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
-    """Read a .g2o file into a models.pose_graph.PoseGraph."""
+    """Read a .g2o file into a models.pose_graph.PoseGraph.
+
+    max_vertices/max_edges are MINIMUM padded capacities: a file larger
+    than either grows the graph to fit (an out-of-capacity .at[] scatter
+    would be silently dropped by JAX while num_vertices still reported the
+    true count — a corrupt graph with no error).
+    """
     import jax.numpy as jnp
 
     from dvo_slam_tpu.models import pose_graph
@@ -66,6 +72,8 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
                 continue
             if parts[0] == "VERTEX_SE3:QUAT":
                 vid = int(parts[1])
+                if vid < 0:
+                    raise ValueError(f"negative vertex id {vid} in {path}")
                 t = [float(x) for x in parts[2:5]]
                 q = [float(x) for x in parts[5:9]]
                 vertices[vid] = se3_np.pose_to_matrix(t, q)
@@ -80,21 +88,32 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
                 info[ju, iu] = upper
                 edges.append((i, j, se3_np.pose_to_matrix(t, q), info))
 
-    g = pose_graph.empty_graph(max_vertices, max_edges)
-    poses = g.poses
-    for vid in sorted(vertices):
-        poses = poses.at[vid].set(jnp.asarray(vertices[vid], jnp.float32))
-    ei, ej = g.edge_i, g.edge_j
-    Z, info_arr, mask = g.measurements, g.information, g.edge_mask
+    # Vertex ids index the padded arrays directly, so capacity must cover
+    # the largest id, not just the vertex count (ids may be sparse).
+    n_v = (max(vertices) + 1) if vertices else 0
+    cap_v = max(max_vertices, n_v)
+    cap_e = max(max_edges, len(edges))
+    g = pose_graph.empty_graph(cap_v, cap_e)
+
+    # Assemble on host, upload once (per-element device scatters would be
+    # one dispatch each).
+    poses = np.asarray(g.poses).copy()  # jax __array__ can be read-only
+    for vid, T in vertices.items():
+        poses[vid] = T
+    ei = np.asarray(g.edge_i).copy()
+    ej = np.asarray(g.edge_j).copy()
+    Z = np.asarray(g.measurements).copy()
+    info_arr = np.asarray(g.information).copy()
+    mask = np.asarray(g.edge_mask).copy()
     for e, (i, j, Zm, I) in enumerate(edges):
-        ei = ei.at[e].set(i)
-        ej = ej.at[e].set(j)
-        Z = Z.at[e].set(jnp.asarray(Zm, jnp.float32))
-        info_arr = info_arr.at[e].set(jnp.asarray(I, jnp.float32))
-        mask = mask.at[e].set(True)
+        ei[e], ej[e] = i, j
+        Z[e], info_arr[e] = Zm, I
+        mask[e] = True
     return g._replace(
-        poses=poses,
-        num_vertices=jnp.asarray(len(vertices), jnp.int32),
-        edge_i=ei, edge_j=ej, measurements=Z, information=info_arr,
-        edge_mask=mask, num_edges=jnp.asarray(len(edges), jnp.int32),
+        poses=jnp.asarray(poses),
+        num_vertices=jnp.asarray(n_v, jnp.int32),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        measurements=jnp.asarray(Z), information=jnp.asarray(info_arr),
+        edge_mask=jnp.asarray(mask),
+        num_edges=jnp.asarray(len(edges), jnp.int32),
     )

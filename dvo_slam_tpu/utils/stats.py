@@ -5,10 +5,11 @@ dvo_core/include/dvo/util/stopwatch.h (stopwatch / stopwatch_collection —
 static per-section timers around the dense-tracking loop) and the
 per-frame Stats structs of DenseTracker::Result.
 
-Device timing respects async dispatch: sections block_until_ready their
-outputs, so a section measures real device latency, not dispatch time. For
-kernel-level profiles use `trace(...)` (jax.profiler) and inspect with
-TensorBoard/xprof.
+Device timing respects async dispatch: register a section's device outputs
+with the yielded handle (`with watch.section("x") as s: r = s.block_on(f())`)
+and the exit blocks on them, so the section measures real device latency,
+not dispatch time. For kernel-level profiles use `trace(...)`
+(jax.profiler) and inspect with TensorBoard/xprof.
 """
 
 from __future__ import annotations
@@ -23,11 +24,27 @@ import jax
 import numpy as np
 
 
+class _Section:
+    """Handle yielded by Stopwatch.section: register the section's device
+    outputs so the exit blocks on them (a jitted call returns in
+    microseconds via async dispatch — without blocking, the section would
+    record dispatch time, not device latency)."""
+
+    def __init__(self):
+        self._outputs = []
+
+    def block_on(self, x: Any) -> Any:
+        """Register a (pytree of) device array(s) to block on at section
+        exit; returns the argument for inline use."""
+        self._outputs.append(x)
+        return x
+
+
 class Stopwatch:
     """Named section timers (reference stopwatch_collection).
 
-    with watch.section("track"):
-        res = track(...)           # block handled by the context exit
+    with watch.section("track") as s:
+        res = s.block_on(track(...))   # exit waits for the device result
     """
 
     def __init__(self):
@@ -36,12 +53,15 @@ class Stopwatch:
 
     @contextlib.contextmanager
     def section(self, name: str, block_on: Any = None):
+        handle = _Section()
+        if block_on is not None:  # pre-existing operands, if any
+            handle._outputs.append(block_on)
         start = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if block_on is not None:
-                jax.block_until_ready(block_on)
+            for x in handle._outputs:
+                jax.block_until_ready(x)
             dt = time.perf_counter() - start
             self.totals[name] += dt
             self.counts[name] += 1

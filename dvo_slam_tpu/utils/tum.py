@@ -176,27 +176,30 @@ class TumDataset:
         intensity, depth = load_image_pair(self.dir, rgb_file, depth_file)
         return ts, intensity, depth
 
-    def prefetch_iter(self, prefetch: int = 4):
+    def prefetch_iter(self, prefetch: int = 4, limit: Optional[int] = None):
         """Iterate (timestamp, intensity, depth) with background decoding.
 
         Uses the native C++ prefetch loader (decode overlaps device
         compute, reference ROS-pipeline semantics); falls back to
         synchronous decoding when the native library is unavailable. The
         sequence must be dimensionally homogeneous (TUM sequences are).
+        limit: stop after the first `limit` frames (the loader only ever
+        decodes that prefix).
         """
+        pairs = self.pairs if limit is None else self.pairs[:limit]
         native = _native()
-        if native is None or not self.pairs:
-            for i in range(len(self)):
+        if native is None or not pairs:
+            for i in range(len(pairs)):
                 yield self[i]
             return
-        w, h = native.png_size(os.path.join(self.dir, self.pairs[0][1]))
-        rgb_paths = [os.path.join(self.dir, p[1]) for p in self.pairs]
-        depth_paths = [os.path.join(self.dir, p[3]) for p in self.pairs]
+        w, h = native.png_size(os.path.join(self.dir, pairs[0][1]))
+        rgb_paths = [os.path.join(self.dir, p[1]) for p in pairs]
+        depth_paths = [os.path.join(self.dir, p[3]) for p in pairs]
         with native.PrefetchLoader(rgb_paths, depth_paths, w, h,
                                    depth_scale=DEPTH_SCALE,
                                    prefetch=prefetch) as loader:
             for idx, intensity, depth in loader:
-                yield self.pairs[idx][0], intensity, depth
+                yield pairs[idx][0], intensity, depth
 
     def groundtruth_pose(self, timestamp, max_difference=0.05) -> Optional[np.ndarray]:
         """Closest groundtruth pose to `timestamp` (reference groundtruth.h).

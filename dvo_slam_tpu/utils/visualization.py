@@ -102,7 +102,12 @@ class MatplotlibTrajectoryVisualizer(FileTrajectoryVisualizer):
             ax.scatter(k[:, 0], k[:, 1], k[:, 2], c="r", s=12, label="keyframes")
         ax.legend()
         ax.set_xlabel("x [m]"), ax.set_ylabel("y [m]"), ax.set_zlabel("z [m]")
-        fig.savefig(os.path.join(self.out_dir, "trajectory.png"), dpi=120)
+        # Write-to-temp + rename: a concurrent viewer refreshing mid-write
+        # must never see a truncated PNG (the live backend re-renders this
+        # file while observers watch it).
+        png = os.path.join(self.out_dir, "trajectory.png")
+        fig.savefig(png + ".tmp.png", dpi=120)
+        os.replace(png + ".tmp.png", png)
         plt.close(fig)
 
     def finish(self):
@@ -132,11 +137,15 @@ class LiveTrajectoryVisualizer(MatplotlibTrajectoryVisualizer):
     def _snapshot(self):
         from dvo_slam_tpu.utils import tum
 
+        # Atomic replace: a file watcher reading between truncation and the
+        # final write would otherwise see an empty/torn trajectory.
+        txt = os.path.join(self.out_dir, "trajectory.txt")
         tum.write_trajectory(
-            os.path.join(self.out_dir, "trajectory.txt"),
+            txt + ".tmp",
             [t for t, _ in self.poses],
             [T for _, T in self.poses],
         )
+        os.replace(txt + ".tmp", txt)
         self._render()
 
 

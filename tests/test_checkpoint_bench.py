@@ -310,6 +310,16 @@ def test_stopwatch_and_logger(tmp_path):
     assert s["a"]["count"] == 2
     assert "a" in watch.report()
 
+    # Device sections: outputs registered on the handle are blocked on at
+    # exit, so the section measures device latency, not dispatch time.
+    import jax
+    import jax.numpy as jnp
+
+    with watch.section("dev") as sec:
+        y = sec.block_on(jax.jit(lambda v: v * 2)(jnp.ones(16)))
+    np.testing.assert_allclose(np.asarray(y), 2.0)
+    assert watch.summary()["dev"]["count"] == 1
+
     log_path = str(tmp_path / "frames.jsonl")
     logger = stats.FrameLogger(log_path)
     logger.log(frame=1, entropy=-54.2, iters=np.asarray([3, 4]))
