@@ -112,7 +112,7 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             # Piggyback the pending optimized poses on the SAME transfer:
             # a separate _sync_poses at the first in-chunk switch would
             # cost one more full round trip per chunk on remoted devices.
-            host = jax.device_get(fetch + (self.graph.poses,))
+            host = jax.device_get(fetch + (self._pending_poses,))
             self._apply_poses(host[-1])
             host = host[:-1]
         else:

@@ -47,6 +47,12 @@ from dvo_slam_tpu.ops import camera, pyramid
 from dvo_slam_tpu.utils import se3_np
 
 
+def _host_graph(graph):
+    """Materialize a PoseGraph pytree as writable host numpy arrays (the
+    orchestrator's graph is host-resident; see KeyframeSlam.__init__)."""
+    return jax.tree.map(lambda a: np.asarray(a).copy(), graph)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _slam_frame_step(intensity, depth, kf_pyr, prev_pyr, inits, Ks,
                      cfg: TrackerConfig):
@@ -128,8 +134,18 @@ class KeyframeSlam:
         )
         self.fine_cfg = tracker_cfg
 
-        # Global graph (device, padded) + host mirrors.
-        self.graph = pose_graph.empty_graph(slam_cfg.max_keyframes, slam_cfg.max_edges)
+        # Global graph: HOST-resident numpy pytree. Graph edits (new
+        # keyframe vertices, odometry/loop edges) are per-element writes —
+        # as eager device ops each one is a full dispatch round trip
+        # (~140 ms per keyframe switch over a remoted chip, measured); as
+        # host writes they are free, and the padded pytree is uploaded in
+        # ONE transfer per optimize() dispatch (~0.3 MB at default
+        # capacities). Only the async solve's output poses live on device
+        # (_pending_poses) until the next pose read.
+        self.graph = _host_graph(
+            pose_graph.empty_graph(slam_cfg.max_keyframes, slam_cfg.max_edges)
+        )
+        self._pending_poses = None  # device handle of the in-flight solve
         self.kf_poses: List[np.ndarray] = []  # world <- keyframe, f64 host mirror
         self.keyframes: List[Keyframe] = []
         self.frames: List[FrameRecord] = []
@@ -394,19 +410,22 @@ class KeyframeSlam:
         return self.kf_poses[kf_idx] @ se3_np.inverse(T_kf_frame)
 
     def _add_keyframe(self, pyr, timestamp, T_w, parent_idx, edge):
+        # Graph edits must land on top of the latest optimized poses (the
+        # orchestrator always syncs before adding; this is the defensive
+        # no-op form of that invariant).
+        self._sync_poses()
         idx = len(self.keyframes)
         if idx >= self.graph.poses.shape[0]:
             # Graceful growth instead of a hard failure (the reference runs
             # indefinitely): doubling keeps optimize() recompiles O(log N).
-            self._sync_poses()
-            self.graph = pose_graph.grow(
+            self.graph = _host_graph(pose_graph.grow(
                 self.graph, max_vertices=2 * self.graph.poses.shape[0]
-            )
+            ))
         self.keyframes.append(Keyframe(idx=idx, timestamp=timestamp, pyramid=pyr))
         self.kf_poses.append(np.asarray(T_w, np.float64))
+        self.graph.poses[idx] = np.asarray(T_w, np.float32)
         self.graph = self.graph._replace(
-            poses=self.graph.poses.at[idx].set(jnp.asarray(T_w, jnp.float32)),
-            num_vertices=jnp.asarray(idx + 1, jnp.int32),
+            num_vertices=np.asarray(idx + 1, np.int32),
         )
         if parent_idx is not None:
             Z, info = edge
@@ -427,19 +446,19 @@ class KeyframeSlam:
 
     def _add_edge(self, i: int, j: int, Z: np.ndarray, info: np.ndarray):
         """Z convention: T_i^{-1} T_j (maps j-cam coords into i-cam)."""
+        self._sync_poses()
         e = int(self.graph.num_edges)
         if e >= self.graph.edge_i.shape[0]:
-            self._sync_poses()
-            self.graph = pose_graph.grow(
+            self.graph = _host_graph(pose_graph.grow(
                 self.graph, max_edges=2 * self.graph.edge_i.shape[0]
-            )
+            ))
+        self.graph.edge_i[e] = i
+        self.graph.edge_j[e] = j
+        self.graph.measurements[e] = np.asarray(Z, np.float32)
+        self.graph.information[e] = np.asarray(info, np.float32)
+        self.graph.edge_mask[e] = True
         self.graph = self.graph._replace(
-            edge_i=self.graph.edge_i.at[e].set(i),
-            edge_j=self.graph.edge_j.at[e].set(j),
-            measurements=self.graph.measurements.at[e].set(jnp.asarray(Z, jnp.float32)),
-            information=self.graph.information.at[e].set(jnp.asarray(info, jnp.float32)),
-            edge_mask=self.graph.edge_mask.at[e].set(True),
-            num_edges=jnp.asarray(e + 1, jnp.int32),
+            num_edges=np.asarray(e + 1, np.int32),
         )
 
     def _search_loop_closures(self, new_kf: Keyframe):
@@ -484,7 +503,11 @@ class KeyframeSlam:
         """
         if len(self.keyframes) < 2 or int(self.graph.num_edges) == 0:
             return
-        self.graph, chi2, _ = pose_graph.optimize(
+        # Never upload stale host poses over an unconsumed solve (no-op in
+        # the normal flow: the orchestrator syncs at every switch before
+        # adding, and adds precede this dispatch).
+        self._sync_poses()
+        g_opt, chi2, _ = pose_graph.optimize(
             self.graph,
             iterations=iterations,
             use_robust=self.slam_cfg.use_robust_kernel,
@@ -494,26 +517,32 @@ class KeyframeSlam:
             # kernel tightens (see pose_graph.optimize docstring).
             gnc_init=16.0,
         )
+        self._pending_poses = g_opt.poses  # device; fetched lazily
         self._poses_stale = True
 
     def _sync_poses(self):
         """Blocking fetch of the device-optimized poses into kf_poses."""
         if not self._poses_stale:
             return
-        self._apply_poses(np.asarray(self.graph.poses, np.float64))
+        self._apply_poses(np.asarray(self._pending_poses, np.float64))
 
     def _apply_poses(self, poses: np.ndarray):
-        """Mirror already-fetched optimized poses into kf_poses (callers
-        that piggyback the pose fetch onto another transfer)."""
+        """Mirror already-fetched optimized poses into kf_poses and the
+        host graph (callers that piggyback the pose fetch onto another
+        transfer)."""
         poses = np.asarray(poses, np.float64)
+        n = min(len(poses), self.graph.poses.shape[0])
+        self.graph.poses[:n] = poses[:n].astype(np.float32)
         for k in range(len(self.kf_poses)):
             self.kf_poses[k] = se3_np.renormalize(poses[k])
         self._poses_stale = False
+        self._pending_poses = None
         self._pose_fetches += 1
 
     def _prune_outlier_edges(self):
         """Drop loop edges whose robust weight collapsed (reference
         OptimizationRemoveOutliers + OutlierWeightThreshold)."""
+        self._sync_poses()  # weights must reflect the latest solve
         _, _, weights = pose_graph.optimize(
             self.graph,
             iterations=1,
@@ -521,14 +550,13 @@ class KeyframeSlam:
             cauchy_c=self.slam_cfg.cauchy_c,
         )
         w = np.asarray(weights)
-        mask = np.array(self.graph.edge_mask)  # writable host copy
-        ei = np.asarray(self.graph.edge_i)
-        ej = np.asarray(self.graph.edge_j)
+        mask = self.graph.edge_mask  # host array: edit in place
+        ei = self.graph.edge_i
+        ej = self.graph.edge_j
         for e in range(int(self.graph.num_edges)):
             consecutive = abs(int(ej[e]) - int(ei[e])) == 1
             if mask[e] and not consecutive and w[e] < self.slam_cfg.outlier_weight_threshold:
                 mask[e] = False
-        self.graph = self.graph._replace(edge_mask=jnp.asarray(mask))
 
 
 def _stats_record(stats, iterations, b):

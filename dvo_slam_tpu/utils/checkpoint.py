@@ -188,15 +188,17 @@ def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,
 
     from dvo_slam_tpu.models import pose_graph
 
+    # The orchestrator's graph is host-resident numpy (keyframe_tracker):
+    # restore writable host arrays, not device uploads.
     slam.graph = pose_graph.PoseGraph(
-        poses=jnp.asarray(z["graph_poses"]),
-        num_vertices=jnp.asarray(z["graph_num_vertices"]),
-        edge_i=jnp.asarray(z["graph_edge_i"]),
-        edge_j=jnp.asarray(z["graph_edge_j"]),
-        measurements=jnp.asarray(z["graph_measurements"]),
-        information=jnp.asarray(z["graph_information"]),
-        edge_mask=jnp.asarray(z["graph_edge_mask"]),
-        num_edges=jnp.asarray(z["graph_num_edges"]),
+        poses=np.asarray(z["graph_poses"]).copy(),
+        num_vertices=np.asarray(z["graph_num_vertices"]),
+        edge_i=np.asarray(z["graph_edge_i"]).copy(),
+        edge_j=np.asarray(z["graph_edge_j"]).copy(),
+        measurements=np.asarray(z["graph_measurements"]).copy(),
+        information=np.asarray(z["graph_information"]).copy(),
+        edge_mask=np.asarray(z["graph_edge_mask"]).copy(),
+        num_edges=np.asarray(z["graph_num_edges"]),
     )
     slam.num_loop_edges = int(z["num_loop_edges"])
     for i in range(len(z["frame_timestamps"])):
