@@ -32,6 +32,7 @@ boundaries yields the same poses (tests/test_chunked_slam.py).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
@@ -41,7 +42,16 @@ import numpy as np
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models import keyframe_scan
 from dvo_slam_tpu.models.keyframe_tracker import FrameRecord, KeyframeSlam
+from dvo_slam_tpu.ops import pyramid
 from dvo_slam_tpu.utils import se3_np
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def _pyramid_from_chunk(intensities, depths, k, num_levels):
+    """New-keyframe pyramid in ONE dispatch: slices frame k out of the
+    already-uploaded chunk inside the jit (an eager slice + eager pyramid
+    build is many separate command submissions over a remoted device)."""
+    return pyramid.build_pyramid(intensities[k], depths[k], num_levels)
 
 
 class ChunkedKeyframeSlam(KeyframeSlam):
@@ -145,8 +155,10 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 self._sync_poses()
                 Z_new = np.asarray(Zs[k], np.float64)
                 info = np.asarray(infos[k], np.float64)
-                pyr = self._build_pyramid(intensities[start + k],
-                                          depths[start + k])
+                pyr = _pyramid_from_chunk(
+                    intensities, depths, start + k,
+                    self.tracker_cfg.num_levels,
+                )
                 T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
                 self._add_keyframe(pyr, t, T_w_new, kf.idx, (Z_new, info))
                 new_kf = self.keyframes[-1]

@@ -53,6 +53,14 @@ def _host_graph(graph):
     return jax.tree.map(lambda a: np.asarray(a).copy(), graph)
 
 
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def _build_pyramid_jit(intensity, depth, num_levels):
+    """Pyramid build as ONE dispatch: the eager op-by-op form costs ~20
+    separate command submissions — tens of ms per keyframe switch over a
+    remoted device."""
+    return pyramid.build_pyramid(intensity, depth, num_levels)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _slam_frame_step(intensity, depth, kf_pyr, prev_pyr, inits, Ks,
                      cfg: TrackerConfig):
@@ -399,7 +407,7 @@ class KeyframeSlam:
     # ------------------------------------------------------------------
 
     def _build_pyramid(self, intensity, depth):
-        return pyramid.build_pyramid(
+        return _build_pyramid_jit(
             jnp.asarray(intensity, jnp.float32),
             jnp.asarray(depth, jnp.float32),
             self.tracker_cfg.num_levels,
