@@ -52,3 +52,24 @@ def test_g2o_optimizable_after_load(tmp_path):
     np.testing.assert_allclose(
         np.asarray(o1.poses[:6]), np.asarray(o2.poses[:6]), atol=1e-4
     )
+
+
+def test_g2o_load_grows_capacity(tmp_path):
+    """A file larger than the requested padded capacities must grow the
+    graph to fit — out-of-capacity scatters would be silently dropped
+    while num_vertices claimed the true count."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pose_graph import _chain_graph
+
+    g, _, _ = _chain_graph(n=12, drift=0.02, max_v=16, max_e=32)
+    path = str(tmp_path / "big.g2o")
+    g2o_io.save_g2o(path, g)
+    g2 = g2o_io.load_g2o(path, max_vertices=4, max_edges=4)
+    assert int(g2.num_vertices) == 12
+    assert g2.poses.shape[0] >= 12
+    assert g2.edge_i.shape[0] >= int(g2.num_edges)
+    np.testing.assert_allclose(
+        np.asarray(g2.poses[:12]), np.asarray(g.poses[:12]), atol=1e-5
+    )

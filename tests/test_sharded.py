@@ -203,3 +203,15 @@ def test_sharded_validation_fleet_matches(mesh):
         bwd.transformation[0], np.float64
     )
     assert np.linalg.norm(se3_np.log(T_fb)) < 5e-3
+
+
+def test_make_mesh_honors_explicit_axes():
+    """A caller-supplied dp or sp must not be clobbered by the default
+    factorization (make_mesh(dp=8) means pure batch-parallel)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    assert sharded.make_mesh(8, dp=8).devices.shape == (8, 1)
+    assert sharded.make_mesh(8, sp=4).devices.shape == (2, 4)
+    assert sharded.make_mesh(8, dp=2, sp=4).devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        sharded.make_mesh(8, dp=3)
