@@ -20,11 +20,11 @@ odometry edges enter the graph, loop closures are searched and validated,
 and the global solve is dispatched asynchronously exactly as in the
 per-frame orchestrator.
 
-Semantic deltas vs KeyframeSlam (both documented in keyframe_scan):
-  * the closing window is fused in closed form (scan carry), not by the
-    windowed LocalMap solve — set `SlamConfig.local_map_optimize=False`
-    for apples-to-apples comparisons;
-  * per-iteration TrackStats are not collected inside the scan.
+Semantic delta vs KeyframeSlam (documented in keyframe_scan): the closing
+window is fused in closed form (scan carry), not by the windowed LocalMap
+solve — set `SlamConfig.local_map_optimize=False` for apples-to-apples
+comparisons. Per-iteration TrackStats ARE collected (the scan emits them;
+the walk feeds the same frame-logger records as the per-frame engine).
 
 Trajectory results are chunk-size invariant: splitting a sequence at any
 boundaries yields the same poses (tests/test_chunked_slam.py).
@@ -41,7 +41,9 @@ import numpy as np
 
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models import keyframe_scan
-from dvo_slam_tpu.models.keyframe_tracker import FrameRecord, KeyframeSlam
+from dvo_slam_tpu.models.keyframe_tracker import (
+    FrameRecord, KeyframeSlam, _stats_record,
+)
 from dvo_slam_tpu.ops import pyramid
 from dvo_slam_tpu.utils import se3_np
 
@@ -118,6 +120,12 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         fetch = (outs["rel_pose"], outs["switch"], outs["Z_switch"],
                  outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
                  outs["accept"])
+        extra = ()
+        if self.frame_logger is not None and outs.get("stats") is not None:
+            # Per-iteration stats ride the same transfer (reference
+            # IterationStats granularity, as in the per-frame engine).
+            extra = (outs["iterations"], outs["stats"])
+        fetch = fetch + extra
         if self._poses_stale:
             # Piggyback the pending optimized poses on the SAME transfer:
             # a separate _sync_poses at the first in-chunk switch would
@@ -127,19 +135,27 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             host = host[:-1]
         else:
             host = jax.device_get(fetch)
-        rel, switch, Zs, infos, entropies, ratios, accepts = host
+        rel, switch, Zs, infos, entropies, ratios, accepts = host[:7]
+        iters_b = stats_b = None
+        if extra:
+            iters_b, stats_b = host[7], host[8]
 
         for k in range(n):
             t = float(timestamps[start + k])
             kf = self.keyframes[-1]
             if self.frame_logger is not None:
-                self.frame_logger.log(
+                rec = dict(
                     t=t, frame=len(self.frames), keyframe=kf.idx,
                     entropy=float(entropies[k]),
                     entropy_ratio=float(ratios[k]),
                     accepted=bool(accepts[k]),
                     keyframe_switch=bool(switch[k]),
                 )
+                if stats_b is not None:
+                    stats_k = jax.tree.map(lambda a: a[k], stats_b)
+                    rec["kf_track"] = _stats_record(stats_k, iters_b[k], 0)
+                    rec["odo_track"] = _stats_record(stats_k, iters_b[k], 1)
+                self.frame_logger.log(**rec)
             # Entropy bookkeeping mirrors KeyframeSlam.update exactly:
             # entropy_first is recorded for any accepted frame BEFORE the
             # switch decision (the per-frame engine sets it even on the

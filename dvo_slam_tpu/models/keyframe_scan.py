@@ -160,6 +160,11 @@ def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
             "iterations": res.iterations,
             "is_nan": jnp.stack([kf_nan, odo_nan]),
         }
+        if cfg.collect_stats:
+            # Per-iteration TrackStats for both alignments (batch 2:
+            # keyframe, odometry) — reference IterationStats granularity,
+            # consumed by ChunkedKeyframeSlam's frame logger.
+            out["stats"] = res.stats
         return new_carry, out
 
     return step

@@ -136,3 +136,33 @@ def test_chunked_force_keyframe():
     # The forced keyframe is exactly frame 4.
     assert slam.frames[4].keyframe_idx == slam.keyframes[n_before].idx
     np.testing.assert_allclose(slam.frames[4].T_kf_frame, np.eye(4))
+
+
+def test_chunked_frame_logger_iteration_stats():
+    """The chunked engine's frame logger carries the same per-iteration
+    stats records as the per-frame engine (reference IterationStats)."""
+    import json
+
+    from dvo_slam_tpu.utils.stats import FrameLogger
+
+    seq_i, seq_z, ts, _ = _sequence(n=7)
+    logger = FrameLogger()
+    slam = ChunkedKeyframeSlam(K, TRACKER, SLAM, enable_loop_closure=False,
+                               frame_logger=logger)
+    slam.init()
+    slam.update_chunk(seq_i[:4], seq_z[:4], ts[:4])
+    slam.force_keyframe()
+    slam.update_chunk(seq_i[4:], seq_z[4:], ts[4:])
+    assert len(logger.records) == len(ts) - 1  # first frame only inits
+    for rec in logger.records:
+        for key in ("entropy", "entropy_ratio", "accepted",
+                    "keyframe_switch", "kf_track", "odo_track"):
+            assert key in rec, key
+    rec = logger.records[0]
+    lvl = rec["kf_track"][0]
+    n = lvl["iterations"]
+    assert n >= 1
+    assert len(lvl["valid"]) == n and len(lvl["error"]) == n
+    assert all(v > 0 for v in lvl["valid"])
+    assert any(r["keyframe_switch"] for r in logger.records)
+    json.dumps(logger.records)  # jsonl-serializable
