@@ -62,10 +62,10 @@ def run_sequence(
 
     chunk_size: slam/keyframe modes — process frames through the chunked
     device-resident front-end (models/chunked_slam.py: one dispatch + one
-    transfer per chunk instead of per frame; the remoted-device fast path).
-    Implies SlamConfig.local_map_optimize=False (the scan fuses the window
-    in closed form). Checkpoints written here carry the scan state and
-    resume only with chunk_size set (and vice versa).
+    transfer per chunk instead of per frame; the remoted-device fast path;
+    full feature parity incl. the windowed LocalMap solve on switches).
+    Checkpoints written here carry the scan state and resume only with
+    chunk_size set (and vice versa).
 
     groundtruth: optional per-frame list aligned with the sequence; entries
     may be None for frames without a groundtruth match (mocap dropouts) —
@@ -130,7 +130,7 @@ def run_sequence(
 
         from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 
-        slam_cfg_c = _dc.replace(slam_cfg, local_map_optimize=False)
+        slam_cfg_c = slam_cfg  # chunked engine has full feature parity
         if resume:
             from dvo_slam_tpu.utils import checkpoint
 

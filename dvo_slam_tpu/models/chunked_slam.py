@@ -20,11 +20,13 @@ odometry edges enter the graph, loop closures are searched and validated,
 and the global solve is dispatched asynchronously exactly as in the
 per-frame orchestrator.
 
-Semantic delta vs KeyframeSlam (documented in keyframe_scan): the closing
-window is fused in closed form (scan carry), not by the windowed LocalMap
-solve — set `SlamConfig.local_map_optimize=False` for apples-to-apples
-comparisons. Per-iteration TrackStats ARE collected (the scan emits them;
-the walk feeds the same frame-logger records as the per-frame engine).
+Feature parity with KeyframeSlam: the windowed LocalMap solve runs on the
+host walk (the scan emits the raw dual measurements + informations per
+frame, so with `local_map_optimize=True` keyframe switches refine the
+closing window exactly as the per-frame engine does), and per-iteration
+TrackStats flow into the same frame-logger records. Per-frame poses inside
+a window use the scan's f32 closed-form fusion (the per-frame engine fuses
+in f64 on host) — sub-micron numeric deltas, not semantic ones.
 
 Trajectory results are chunk-size invariant: splitting a sequence at any
 boundaries yields the same poses (tests/test_chunked_slam.py).
@@ -40,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
-from dvo_slam_tpu.models import keyframe_scan
+from dvo_slam_tpu.models import keyframe_scan, local_map
 from dvo_slam_tpu.models.keyframe_tracker import (
     FrameRecord, KeyframeSlam, _stats_record,
 )
@@ -120,12 +122,20 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         fetch = (outs["rel_pose"], outs["switch"], outs["Z_switch"],
                  outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
                  outs["accept"])
-        extra = ()
+        lm_on = self.slam_cfg.local_map_optimize
+        lm_extra = ()
+        if lm_on:
+            # Raw dual measurements for the windowed LocalMap replay —
+            # same transfer, no extra round trip.
+            lm_extra = (outs["T_kf_meas"], outs["T_odo_meas"],
+                        outs["info_pair"], outs["is_nan"])
+        fetch = fetch + lm_extra
+        stats_extra = ()
         if self.frame_logger is not None and outs.get("stats") is not None:
             # Per-iteration stats ride the same transfer (reference
             # IterationStats granularity, as in the per-frame engine).
-            extra = (outs["iterations"], outs["stats"])
-        fetch = fetch + extra
+            stats_extra = (outs["iterations"], outs["stats"])
+        fetch = fetch + stats_extra
         if self._poses_stale:
             # Piggyback the pending optimized poses on the SAME transfer:
             # a separate _sync_poses at the first in-chunk switch would
@@ -136,9 +146,14 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         else:
             host = jax.device_get(fetch)
         rel, switch, Zs, infos, entropies, ratios, accepts = host[:7]
+        pos = 7
+        kf_meas = odo_meas = info_pair = nan_pair = None
+        if lm_extra:
+            kf_meas, odo_meas, info_pair, nan_pair = host[pos:pos + 4]
+            pos += 4
         iters_b = stats_b = None
-        if extra:
-            iters_b, stats_b = host[7], host[8]
+        if stats_extra:
+            iters_b, stats_b = host[pos], host[pos + 1]
 
         for k in range(n):
             t = float(timestamps[start + k])
@@ -171,6 +186,31 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 self._sync_poses()
                 Z_new = np.asarray(Zs[k], np.float64)
                 info = np.asarray(infos[k], np.float64)
+                if lm_on:
+                    # LocalMap::optimize replay: the switching frame joins
+                    # as the final vertex; intermediate frame records are
+                    # refined in place (keyframe_tracker switch branch).
+                    odo_nan_k = bool(nan_pair[k][1])
+                    before = len(self._local_map)
+                    self._local_map.add_frame(
+                        -1, Z_new,
+                        (np.asarray(kf_meas[k], np.float64),
+                         np.asarray(info_pair[k][0], np.float64))
+                        if bool(accepts[k]) else None,
+                        None if odo_nan_k
+                        else (np.asarray(odo_meas[k], np.float64),
+                              np.asarray(info_pair[k][1], np.float64)),
+                    )
+                    if len(self._local_map) >= 2:
+                        refined = self._local_map.optimize(
+                            self.slam_cfg.local_map_iterations
+                        )
+                        for fi, T in zip(self._local_map.frame_indices,
+                                         refined):
+                            if fi >= 0:
+                                self.frames[fi].T_kf_frame = T
+                        if len(self._local_map) == before + 1:
+                            Z_new = refined[-1]
                 pyr = _pyramid_from_chunk(
                     intensities, depths, start + k,
                     self.tracker_cfg.num_levels,
@@ -181,6 +221,9 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 if self.enable_loop_closure:
                     self._search_loop_closures(new_kf)
                 self._optimize(self.slam_cfg.optimization_iterations)
+                self._local_map = local_map.LocalMap(
+                    self.slam_cfg.local_map_capacity
+                )
                 self.frames.append(FrameRecord(t, new_kf.idx, np.eye(4)))
                 out_poses.append(self._world_pose(new_kf.idx, np.eye(4)))
                 continue
@@ -190,5 +233,16 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 kf.entropy_count += 1
             T_kf_cur = np.asarray(rel[k], np.float64)
             self.frames.append(FrameRecord(t, kf.idx, T_kf_cur))
+            if lm_on:
+                odo_nan_k = bool(nan_pair[k][1])
+                self._local_map.add_frame(
+                    len(self.frames) - 1,
+                    T_kf_cur,
+                    (np.asarray(kf_meas[k], np.float64),
+                     np.asarray(info_pair[k][0], np.float64)),
+                    None if odo_nan_k
+                    else (np.asarray(odo_meas[k], np.float64),
+                          np.asarray(info_pair[k][1], np.float64)),
+                )
             out_poses.append(self._world_pose(kf.idx, T_kf_cur))
         return out_poses

@@ -159,6 +159,13 @@ def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
             "accept": accept,
             "iterations": res.iterations,
             "is_nan": jnp.stack([kf_nan, odo_nan]),
+            # Raw (pre-fusion) dual measurements + informations: the
+            # chunked walk replays the windowed LocalMap solve from these
+            # (keyframe->frame and prev->frame edges, keyframe_tracker
+            # switch branch).
+            "T_kf_meas": r_kf_T,
+            "T_odo_meas": r_odo_T,
+            "info_pair": res.information,
         }
         if cfg.collect_stats:
             # Per-iteration TrackStats for both alignments (batch 2:

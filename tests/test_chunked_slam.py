@@ -166,3 +166,67 @@ def test_chunked_frame_logger_iteration_stats():
     assert all(v > 0 for v in lvl["valid"])
     assert any(r["keyframe_switch"] for r in logger.records)
     json.dumps(logger.records)  # jsonl-serializable
+
+
+def test_chunked_local_map_matches_per_frame_engine():
+    """With local_map_optimize=True the chunked walk replays the windowed
+    LocalMap solve, matching KeyframeSlam's refined frame records (up to
+    the scan's f32 in-window fusion)."""
+    import dataclasses
+
+    from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
+
+    cfg = dataclasses.replace(SLAM, local_map_optimize=True)
+    seq_i, seq_z, ts, gt = _sequence()
+
+    chunked = ChunkedKeyframeSlam(K, TRACKER, cfg, enable_loop_closure=False)
+    chunked.init()
+    pc = []
+    for s in range(0, len(ts), 5):
+        pc.extend(chunked.update_chunk(seq_i[s:s + 5], seq_z[s:s + 5],
+                                       ts[s:s + 5]))
+        if s == 0:
+            chunked.force_keyframe()
+
+    per_frame = KeyframeSlam(K, TRACKER, cfg, enable_loop_closure=False)
+    per_frame.init()
+    pf = []
+    for i in range(len(ts)):
+        if i == 5:
+            per_frame.force_keyframe()
+        pf.append(per_frame.update(seq_i[i], seq_z[i], ts[i]))
+
+    assert len(chunked.keyframes) == len(per_frame.keyframes) >= 2
+    # The windowed solve refined intermediate records in both engines.
+    for fc, fp in zip(chunked.frames, per_frame.frames):
+        assert fc.keyframe_idx == fp.keyframe_idx
+        np.testing.assert_allclose(fc.T_kf_frame, fp.T_kf_frame, atol=5e-5)
+    tc = [T for _, T in chunked.finish()]
+    tp = [T for _, T in per_frame.finish()]
+    for Tc, Tp in zip(tc, tp):
+        np.testing.assert_allclose(Tc, Tp, atol=5e-5)
+    assert evaluate.ate_rmse(tc, gt) < 0.005
+
+
+def test_chunk_boundaries_invariant_with_local_map():
+    """Chunk-boundary invariance must hold with the LocalMap replay on."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SLAM, local_map_optimize=True)
+    seq_i, seq_z, ts, _ = _sequence()
+
+    def run(chunks):
+        slam = ChunkedKeyframeSlam(K, TRACKER, cfg, enable_loop_closure=False)
+        slam.init()
+        poses, k = [], 0
+        for size in chunks:
+            poses.extend(slam.update_chunk(seq_i[k:k + size],
+                                           seq_z[k:k + size], ts[k:k + size]))
+            k += size
+        return slam, poses
+
+    slam_a, poses_a = run([12])
+    slam_b, poses_b = run([3, 1, 6, 2])
+    assert [k.idx for k in slam_a.keyframes] == [k.idx for k in slam_b.keyframes]
+    for Ta, Tb in zip(poses_a, poses_b):
+        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
