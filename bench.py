@@ -242,7 +242,7 @@ def _bench_chunked(args, cfg, K_t, frames):
 
     import jax.numpy as jnp
 
-    slam_cfg = SlamConfig(local_map_optimize=False)
+    slam_cfg = SlamConfig()  # defaults incl. the windowed LocalMap solve
     n_ring = len(frames)
     chunk = args.chunk
 

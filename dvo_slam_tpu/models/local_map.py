@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from dvo_slam_tpu.models import pose_graph
@@ -88,7 +87,10 @@ class LocalMap:
         if n < 2:
             return list(self.estimates)
 
-        graph = pose_graph.empty_graph(self.capacity, 2 * self.capacity)
+        # Assemble the padded window graph entirely on HOST: the jitted
+        # solve uploads it in one transfer — eager .at[].set assembly costs
+        # a dispatch round trip per field (~100 ms per keyframe switch
+        # over a remoted device; see keyframe_tracker's host graph).
         poses = np.tile(np.eye(4, dtype=np.float32), (self.capacity, 1, 1))
         for i, est in enumerate(self.estimates):
             poses[i + 1] = se3_np.inverse(est).astype(np.float32)
@@ -112,21 +114,27 @@ class LocalMap:
 
         E = len(ei)
         cap_e = 2 * self.capacity
-        graph = graph._replace(
-            poses=jnp.asarray(poses),
-            num_vertices=jnp.asarray(n + 1, jnp.int32),
-            edge_i=graph.edge_i.at[:E].set(jnp.asarray(ei, jnp.int32)),
-            edge_j=graph.edge_j.at[:E].set(jnp.asarray(ej, jnp.int32)),
-            measurements=graph.measurements.at[:E].set(
-                jnp.asarray(np.stack(Z), jnp.float32)
-            ),
-            information=graph.information.at[:E].set(
-                jnp.asarray(np.stack(info), jnp.float32)
-            ),
-            edge_mask=graph.edge_mask.at[:E].set(True),
-            num_edges=jnp.asarray(E, jnp.int32),
-        )
         assert E <= cap_e
+        edge_i = np.zeros(cap_e, np.int32)
+        edge_j = np.zeros(cap_e, np.int32)
+        measurements = np.tile(np.eye(4, dtype=np.float32), (cap_e, 1, 1))
+        information = np.tile(np.eye(6, dtype=np.float32), (cap_e, 1, 1))
+        edge_mask = np.zeros(cap_e, bool)
+        edge_i[:E] = ei
+        edge_j[:E] = ej
+        measurements[:E] = np.stack(Z).astype(np.float32)
+        information[:E] = np.stack(info).astype(np.float32)
+        edge_mask[:E] = True
+        graph = pose_graph.PoseGraph(
+            poses=poses,
+            num_vertices=np.asarray(n + 1, np.int32),
+            edge_i=edge_i,
+            edge_j=edge_j,
+            measurements=measurements,
+            information=information,
+            edge_mask=edge_mask,
+            num_edges=np.asarray(E, np.int32),
+        )
         # Plain (non-robust) LM: window measurements already passed the
         # tracker's acceptance criteria; the reference's local g2o solve
         # runs without a robust kernel too.
