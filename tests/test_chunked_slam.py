@@ -230,3 +230,31 @@ def test_chunk_boundaries_invariant_with_local_map():
     assert [k.idx for k in slam_a.keyframes] == [k.idx for k in slam_b.keyframes]
     for Ta, Tb in zip(poses_a, poses_b):
         np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+
+
+def test_chunked_checkpoint_resume_with_local_map(tmp_path):
+    """Resume equivalence holds with the windowed LocalMap replay on: the
+    pending window is serialized and the resumed run refines it identically."""
+    import dataclasses
+
+    from dvo_slam_tpu.utils import checkpoint
+
+    cfg = dataclasses.replace(SLAM, local_map_optimize=True)
+    seq_i, seq_z, ts, _ = _sequence()
+    full = ChunkedKeyframeSlam(K, TRACKER, cfg)
+    full.init()
+    full.update_chunk(seq_i[:6], seq_z[:6], ts[:6])
+    assert len(full._local_map) >= 1  # a pending window crosses the save
+    path = str(tmp_path / "chunked_lm.npz")
+    checkpoint.save_slam(path, full)
+    full.update_chunk(seq_i[6:], seq_z[6:], ts[6:])
+    traj_full = full.finish()
+
+    resumed = checkpoint.load_slam(path, K, TRACKER, cfg, chunked=True)
+    resumed.update_chunk(seq_i[6:], seq_z[6:], ts[6:])
+    traj_res = resumed.finish()
+
+    assert len(traj_full) == len(traj_res) == len(ts)
+    for (ta, Ta), (tb, Tb) in zip(traj_full, traj_res):
+        assert ta == tb
+        np.testing.assert_allclose(Ta, Tb, atol=1e-7)
