@@ -72,6 +72,8 @@ def main():
                     help="override pallas window margin (rows)")
     ap.add_argument("--scale-warm", type=int, default=None,
                     help="override tdist_scale_warm_iters")
+    ap.add_argument("--rows-tile", type=int, default=None,
+                    help="override pallas_rows_per_tile")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +93,8 @@ def main():
         kw["pallas_margin"] = args.margin
     if args.scale_warm is not None:
         kw["tdist_scale_warm_iters"] = args.scale_warm
+    if args.rows_tile is not None:
+        kw["pallas_rows_per_tile"] = args.rows_tile
     cfg = TrackerConfig(sampler_backend="pallas" if on_tpu else "gather", **kw)
     K_t = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), cfg.num_levels)
