@@ -112,11 +112,15 @@ def run_sequence(
             warm = OdometryTracker(K, tracker_cfg)
             for ts, intensity, depth in head:
                 warm.update(intensity, depth, ts)
-        start = time.perf_counter()
+        # Time the engine only: the stream may be decoding synchronously
+        # (cv2 fallback), and ingest is I/O, not odometry — chunked mode
+        # times update_chunk the same way.
+        elapsed = 0.0
         for ts, intensity, depth in stream:
+            t_f = time.perf_counter()
             odo.update(intensity, depth, ts)
+            elapsed += time.perf_counter() - t_f
             num_frames += 1
-        elapsed = time.perf_counter() - start
         traj = odo.trajectory
         num_keyframes = 0
         num_loop_edges = 0
@@ -195,6 +199,10 @@ def run_sequence(
             scan_len = len(buf) - 1 if fresh_first else len(buf)
             fresh_first = False
             if warm is not None and scan_len > 0 and scan_len not in warmed_scans:
+                # Warm the switch path too at this chunk shape: the
+                # switch replay's pyramid build slices out of the chunk
+                # inside its jit, so its compile key includes (n, H, W).
+                warm.force_keyframe()
                 warm.update_chunk(*_warm_chunk(scan_len, warm_t))
                 warm_t += 1.0
                 warmed_scans.add(scan_len)
@@ -252,11 +260,13 @@ def run_sequence(
             warm.force_keyframe()
             warm.update(i1, d1, 3 / 30.0)  # 3rd keyframe: validation batch
             warm.finish()  # final-optimization variant
-        start = time.perf_counter()
+        # Engine-only timing (ingest excluded), as in the other modes.
+        elapsed = 0.0
         for ts, intensity, depth in stream:
+            t_f = time.perf_counter()
             slam.update(intensity, depth, ts)
+            elapsed += time.perf_counter() - t_f
             num_frames += 1
-        elapsed = time.perf_counter() - start
         if checkpoint_out:
             from dvo_slam_tpu.utils import checkpoint
 

@@ -99,6 +99,13 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 FrameRecord(timestamps[0], self.keyframes[-1].idx, np.eye(4))
             )
             self._carry = keyframe_scan.init_carry(pyr0)
+            # Fresh anchor keyframe ⇒ fresh measurement window (the
+            # per-frame engine's init branch does the same) — without this
+            # a reset() leaves pre-reset measurements in the window and the
+            # next solve mixes edges across the reset discontinuity.
+            self._local_map = local_map.LocalMap(
+                self.slam_cfg.local_map_capacity
+            )
             self._initialized = True
             out_poses.append(self._T0.copy())
             start = 1
@@ -118,10 +125,11 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             self._carry, intensities[start:], depths[start:], self.K,
             self.tracker_cfg, self.slam_cfg,
             force_keyframe=jnp.asarray(force),
+            with_stats=self.frame_logger is not None,
         )
         fetch = (outs["rel_pose"], outs["switch"], outs["Z_switch"],
                  outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
-                 outs["accept"])
+                 outs["accept"], outs["valid_ratio"])
         lm_on = self.slam_cfg.local_map_optimize
         lm_extra = ()
         if lm_on:
@@ -145,8 +153,9 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             host = host[:-1]
         else:
             host = jax.device_get(fetch)
-        rel, switch, Zs, infos, entropies, ratios, accepts = host[:7]
-        pos = 7
+        (rel, switch, Zs, infos, entropies, ratios, accepts,
+         valid_ratios) = host[:8]
+        pos = 8
         kf_meas = odo_meas = info_pair = nan_pair = None
         if lm_extra:
             kf_meas, odo_meas, info_pair, nan_pair = host[pos:pos + 4]
@@ -163,6 +172,7 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                     t=t, frame=len(self.frames), keyframe=kf.idx,
                     entropy=float(entropies[k]),
                     entropy_ratio=float(ratios[k]),
+                    valid_ratio=float(valid_ratios[k]),
                     accepted=bool(accepts[k]),
                     keyframe_switch=bool(switch[k]),
                 )

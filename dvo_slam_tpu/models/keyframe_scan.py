@@ -25,6 +25,7 @@ self-contained).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -36,6 +37,25 @@ from dvo_slam_tpu.models import dense_tracker
 from dvo_slam_tpu.ops import camera, pyramid, se3
 
 _ENTROPY_FLOOR = 1.0  # matches dense_tracker._ENTROPY_DENOM_FLOOR
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """The SlamConfig subset the scan actually traces — used as the jit
+    static key so host-side-only SlamConfig fields (loop-closure radii,
+    voter thresholds, ...) don't fragment the compile cache: two SlamConfigs
+    differing only in host fields share one compiled scan (the benchmark
+    warmup relies on this)."""
+
+    min_constraint_ratio: float
+    min_entropy_ratio: float
+    fuse_odometry: bool
+    with_stats: bool  # emit per-iteration TrackStats as scan outputs
+
+    @classmethod
+    def from_slam(cls, s: SlamConfig, with_stats: bool = False):
+        return cls(s.min_constraint_ratio, s.min_entropy_ratio,
+                   s.fuse_odometry, with_stats)
 
 
 def _entropy_ratio_jnp(h_cur, h_ref, has_ref):
@@ -75,7 +95,7 @@ def init_carry(pyr0):
     }
 
 
-def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
+def _make_step(Ks, cfg: TrackerConfig, scan_cfg: ScanConfig):
     """The per-frame scan body (shared by whole-sequence and chunked runs)."""
     eye = jnp.eye(4, dtype=jnp.float32)
 
@@ -99,7 +119,7 @@ def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
         last_odo = jnp.where(odo_nan, carry["last_odo"], r_odo_T)
 
         accept = (~kf_nan) & (
-            res.valid_ratio[0] >= slam_cfg.min_constraint_ratio
+            res.valid_ratio[0] >= scan_cfg.min_constraint_ratio
         )
         h = res.entropy[0]
         ratio = jnp.where(
@@ -107,12 +127,12 @@ def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
             _entropy_ratio_jnp(h, carry["H_first"], carry["has_first"]),
             1.0,
         )
-        switch = force | (~accept) | (ratio < slam_cfg.min_entropy_ratio)
+        switch = force | (~accept) | (ratio < scan_cfg.min_entropy_ratio)
 
         # Non-switch pose: keyframe measurement fused with chained odometry
         # (LocalMap keyframe+odometry measurements, closed form).
         T_alt = r_odo_T @ carry["T_kf_prev"]
-        if slam_cfg.fuse_odometry:
+        if scan_cfg.fuse_odometry:
             fused = _fuse_relative_poses_jnp(
                 r_kf_T, res.information[0], T_alt, res.information[1]
             )
@@ -167,37 +187,48 @@ def _make_step(Ks, cfg: TrackerConfig, slam_cfg: SlamConfig):
             "T_odo_meas": r_odo_T,
             "info_pair": res.information,
         }
-        if cfg.collect_stats:
+        if cfg.collect_stats and scan_cfg.with_stats:
             # Per-iteration TrackStats for both alignments (batch 2:
             # keyframe, odometry) — reference IterationStats granularity,
-            # consumed by ChunkedKeyframeSlam's frame logger.
+            # consumed by ChunkedKeyframeSlam's frame logger. Emitted only
+            # on request: as scan OUTPUTS they would otherwise be
+            # materialized ((T, 2, L, I) per field) even with no consumer.
             out["stats"] = res.stats
         return new_carry, out
 
     return step
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slam_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "scan_cfg"))
+def _track_chunk_jit(carry, intensities, depths, K, cfg: TrackerConfig,
+                     scan_cfg: ScanConfig, force_keyframe):
+    Ks = camera.pyramid_intrinsics(K, cfg.num_levels)
+    step = _make_step(Ks, cfg, scan_cfg)
+    return jax.lax.scan(step, carry, (intensities, depths, force_keyframe))
+
+
 def track_keyframe_chunk(carry, intensities, depths, K, cfg: TrackerConfig,
                          slam_cfg: SlamConfig = SlamConfig(),
-                         force_keyframe=None):
+                         force_keyframe=None, with_stats: bool = False):
     """Run the keyframe front-end over one CHUNK of frames, chaining the
     carry: (carry, (T, H, W) frames) -> (carry, per-frame outputs).
 
     The chunked form gives streaming SLAM one host round trip per chunk
     instead of per frame (ChunkedKeyframeSlam); semantics are identical to
-    track_keyframe_sequence split at arbitrary boundaries."""
+    track_keyframe_sequence split at arbitrary boundaries. The jit key is
+    the traced SlamConfig subset only (ScanConfig) — SlamConfigs differing
+    in host-side fields share one compiled program."""
     if force_keyframe is None:
         force_keyframe = jnp.zeros(intensities.shape[0], bool)
-    Ks = camera.pyramid_intrinsics(K, cfg.num_levels)
-    step = _make_step(Ks, cfg, slam_cfg)
-    return jax.lax.scan(step, carry, (intensities, depths, force_keyframe))
+    return _track_chunk_jit(
+        carry, intensities, depths, K, cfg,
+        ScanConfig.from_slam(slam_cfg, with_stats), force_keyframe,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slam_cfg"))
 def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
                             slam_cfg: SlamConfig = SlamConfig(),
-                            force_keyframe=None):
+                            force_keyframe=None, with_stats: bool = False):
     """Keyframe odometry over a whole sequence in one jitted call.
 
     Args:
@@ -222,12 +253,19 @@ def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
     T_total = intensities.shape[0]
     if force_keyframe is None:
         force_keyframe = jnp.zeros(T_total, bool)
-    pyr0 = pyramid.build_pyramid(intensities[0], depths[0], cfg.num_levels)
+    pyr0 = _first_pyramid_jit(intensities, depths, cfg.num_levels)
     _, outs = track_keyframe_chunk(
         init_carry(pyr0), intensities[1:], depths[1:], K, cfg, slam_cfg,
-        force_keyframe=force_keyframe[1:],
+        force_keyframe=force_keyframe[1:], with_stats=with_stats,
     )
     return outs
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def _first_pyramid_jit(intensities, depths, num_levels):
+    """Frame-0 pyramid in one dispatch (the sequence wrapper is not itself
+    jitted; an eager build would be ~20 command submissions)."""
+    return pyramid.build_pyramid(intensities[0], depths[0], num_levels)
 
 
 def compose_keyframe_trajectory(outs, T0=None):

@@ -44,13 +44,14 @@ def load_library(auto_build: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if _build_failed:
-        # Don't re-run a failing compiler once per frame (available() is
-        # probed inside per-frame loaders; `make` per call would turn a
-        # minutes-long dataset run into hours).
-        raise NativeUnavailable("libdvo_native.so build failed earlier")
-    if not os.path.exists(_LIB_PATH) and auto_build:
-        _build()
+    if not os.path.exists(_LIB_PATH):
+        # The failure latch only skips re-running a failing `make` once
+        # per frame (available() is probed inside per-frame loaders) — a
+        # library that appeared on disk since is still loaded.
+        if _build_failed:
+            raise NativeUnavailable("libdvo_native.so build failed earlier")
+        if auto_build:
+            _build()
     if not os.path.exists(_LIB_PATH):
         raise NativeUnavailable("libdvo_native.so missing and build failed")
     lib = ctypes.CDLL(_LIB_PATH)

@@ -91,6 +91,13 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
     # Vertex ids index the padded arrays directly, so capacity must cover
     # the largest id, not just the vertex count (ids may be sparse).
     n_v = (max(vertices) + 1) if vertices else 0
+    for i, j, _, _ in edges:
+        # An edge referencing an undeclared vertex would be silently
+        # clamped/wrapped by the device gather — a wrong solve, no error.
+        if i not in vertices or j not in vertices:
+            raise ValueError(
+                f"edge ({i}, {j}) references an undeclared vertex in {path}"
+            )
     cap_v = max(max_vertices, n_v)
     cap_e = max(max_edges, len(edges))
     g = pose_graph.empty_graph(cap_v, cap_e)

@@ -258,3 +258,23 @@ def test_chunked_checkpoint_resume_with_local_map(tmp_path):
     for (ta, Ta), (tb, Tb) in zip(traj_full, traj_res):
         assert ta == tb
         np.testing.assert_allclose(Ta, Tb, atol=1e-7)
+
+
+def test_chunked_reset_clears_local_map_window():
+    """reset() must not leave pre-reset measurements in the LocalMap: the
+    fresh anchor keyframe starts a fresh window (per-frame engine parity)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SLAM, local_map_optimize=True)
+    seq_i, seq_z, ts, _ = _sequence()
+    slam = ChunkedKeyframeSlam(K, TRACKER, cfg, enable_loop_closure=False)
+    slam.init()
+    slam.update_chunk(seq_i[:6], seq_z[:6], ts[:6])
+    assert len(slam._local_map) >= 2
+    slam.reset()
+    slam.update_chunk(seq_i[6:], seq_z[6:], ts[6:])
+    # Only post-reset frame records may be in the pending window.
+    reset_anchor_record = 6  # frame 6 became the fresh anchor keyframe
+    assert all(fi > reset_anchor_record for fi in slam._local_map.frame_indices)
+    traj = slam.finish()
+    assert all(np.isfinite(T).all() for _, T in traj)
