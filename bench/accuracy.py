@@ -90,16 +90,20 @@ def main():
     # per-frame estimates a genuine random walk, so odometry DRIFTS at the
     # centimeter scale and the slam-vs-odometry gate has real work to
     # measure.
-    frames = [
-        synthetic.add_sensor_noise(i, z, rng, intensity_std=10.0,
-                                   depth_rel_std=0.05, dropout=0.25)
-        for i, z in synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
-    ]
-    synthetic.write_tum_dataset(out_dir, frames, poses)
-    # Track with slightly-wrong focal lengths (the dataset was rendered
-    # with the true K): systematic miscalibration is what makes real
-    # odometry DRIFT over a loop — random sensor noise alone averages out
-    # at 640x480 — giving loop closure genuine drift to repair.
+    def frame_stream():
+        # Render -> corrupt -> write one frame at a time: materializing
+        # the sequence twice costs ~1.2 GB RSS at the 640x480x240 default.
+        for T_wc in poses:
+            i, z = scene.render(np.asarray(K), W, H, T_wc)
+            yield synthetic.add_sensor_noise(i, z, rng, intensity_std=10.0,
+                                             depth_rel_std=0.05, dropout=0.25)
+
+    synthetic.write_tum_dataset(out_dir, frame_stream(), poses)
+    # --calib-error optionally tracks with wrong focal lengths (default
+    # 0.0 = OFF: a consistent calibration bias warps the whole trajectory
+    # without creating loop inconsistency, so loop closure rightly cannot
+    # repair it — see the flag's help text; the default drift comes from
+    # the heavy sensor noise above).
     K_track = (K[0] * (1 + args.calib_error), K[1] * (1 + args.calib_error),
                K[2], K[3])
 

@@ -143,6 +143,11 @@ class TrackerConfig:
             raise ValueError(f"unknown influence function {self.influence}")
         if self.sampler_backend not in ("gather", "pallas"):
             raise ValueError(f"unknown sampler backend {self.sampler_backend}")
+        if self.pallas_precision not in ("default", "highest"):
+            raise ValueError(
+                f"unknown pallas precision {self.pallas_precision!r} "
+                "(expected 'default' or 'highest')"
+            )
         if not (0 <= self.last_level <= self.first_level < self.num_levels):
             raise ValueError(
                 "require 0 <= last_level <= first_level < num_levels, got "

@@ -89,8 +89,11 @@ def exp(xi):
 
 
 def log_so3(R):
-    """SO(3) logarithm: (..., 3, 3) -> (..., 3). Safe for small angles;
-    accurate up to theta ~ pi - 1e-3 (pose increments here are small).
+    """SO(3) logarithm: (..., 3, 3) -> (..., 3). Safe for small angles
+    (pose increments here are small). Near theta = pi the arccos/sin form
+    loses ~1/sin(theta) digits: in the module's f32 device dtype expect
+    ~2e-2 rad roundtrip error at theta = 3.14 (f64 holds ~1e-3 to
+    theta ~ pi - 1e-3) — don't trust near-pi twists to high precision.
 
     Autodiff-safe at the identity: both branches are parameterized by
     u = 1 - cos(theta), whose tangent is polynomial there. (A naive

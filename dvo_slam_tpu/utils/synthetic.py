@@ -70,9 +70,13 @@ class PlaneScene:
         hit_points = np.zeros((height, width, 3))
         for n, d in self.planes:
             denom = dirs_world @ n
-            denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+            # A ray (near-)parallel to the plane is a MISS, never a hit at
+            # ~1e12 m: exclude it from validity (the epsilon replacement
+            # below only silences the division warning).
+            parallel = np.abs(denom) < 1e-9
+            denom = np.where(parallel, 1e-9, denom)
             lam = (d - c @ n) / denom  # camera-frame depth (dir_z == 1)
-            valid = lam > 0.05
+            valid = (lam > 0.05) & ~parallel
             closer = valid & (lam < depth)
             X = c + lam[..., None] * dirs_world
             depth = np.where(closer, lam, depth)
@@ -168,9 +172,12 @@ def write_tum_dataset(out_dir, frames, poses, fps=30.0, depth_scale=5000.0):
             np.clip(intensity, 0, 255).astype(np.uint8),
         )
         raw = np.where(np.isfinite(depth), depth * depth_scale, 0.0)
+        # Kinect/TUM convention: out-of-range depth is 0 (INVALID), never
+        # clipped to 65535 — that would decode as a false 13.1 m reading.
+        raw = np.where((raw < 0) | (raw > 65535), 0.0, raw)
         cv2.imwrite(
             os.path.join(out_dir, depth_name),
-            np.clip(raw, 0, 65535).astype(np.uint16),
+            raw.astype(np.uint16),
         )
         rgb_lines.append(f"{ts:.6f} {rgb_name}")
         depth_lines.append(f"{ts:.6f} {depth_name}")
