@@ -52,6 +52,7 @@ def run_sequence(
     checkpoint_out: Optional[str] = None,
     resume: Optional[str] = None,
     chunk_size: Optional[int] = None,
+    graph_out: Optional[str] = None,
 ) -> BenchmarkResult:
     """Run SLAM/odometry over an iterable of (timestamp, intensity, depth).
 
@@ -78,6 +79,9 @@ def run_sequence(
     checkpoint_out / resume: slam/keyframe modes — save the full SLAM
     state (.npz) after the frame loop (pre-finish, i.e. the resumable
     streaming state) / start from a saved state instead of fresh.
+
+    graph_out: slam/keyframe modes — write the final optimized pose graph
+    as .g2o (the reference backend's native interchange format).
 
     The sequence is consumed as a STREAM: only the 2-frame warmup buffer
     (plus, in chunked mode, one chunk) is resident at a time, so hour-long
@@ -220,6 +224,11 @@ def run_sequence(
 
             checkpoint.save_slam(checkpoint_out, slam)
         traj = slam.finish()
+        if graph_out:
+            from dvo_slam_tpu.utils import g2o_io
+
+            slam._sync_poses()
+            g2o_io.save_g2o(graph_out, slam.graph)
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
     else:
@@ -272,6 +281,11 @@ def run_sequence(
 
             checkpoint.save_slam(checkpoint_out, slam)
         traj = slam.finish()
+        if graph_out:
+            from dvo_slam_tpu.utils import g2o_io
+
+            slam._sync_poses()
+            g2o_io.save_g2o(graph_out, slam.graph)
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
 
@@ -322,6 +336,7 @@ def run_tum_dataset(
     checkpoint_out: Optional[str] = None,
     resume: Optional[str] = None,
     chunk_size: Optional[int] = None,
+    graph_out: Optional[str] = None,
 ) -> BenchmarkResult:
     """Benchmark a TUM RGB-D directory (reference benchmark_slam main)."""
     from dvo_slam_tpu.ops import camera
@@ -343,7 +358,7 @@ def run_tum_dataset(
         groundtruth=gt, mode=mode, trajectory_out=trajectory_out,
         covariance_out=covariance_out,
         checkpoint_out=checkpoint_out, resume=resume,
-        chunk_size=chunk_size,
+        chunk_size=chunk_size, graph_out=graph_out,
     )
 
 

@@ -102,8 +102,12 @@ def main(argv=None):
             p.add_argument("--chunk-size", type=int, default=None,
                            help="chunked device-resident front-end: one "
                                 "dispatch per N frames (remoted-device "
-                                "fast path; disables the windowed "
-                                "local-map solve)")
+                                "fast path; full feature parity incl. "
+                                "the windowed local-map solve)")
+            p.add_argument("--graph-out", default=None,
+                           help="write the final pose graph as .g2o "
+                                "(inspectable with g2o_viewer / the "
+                                "reference's ecosystem tools)")
         p.set_defaults(mode=mode)
         _add_tracker_args(p)
         _add_slam_args(p)
@@ -239,6 +243,7 @@ def main(argv=None):
             checkpoint_out=getattr(args, "checkpoint_out", None),
             resume=getattr(args, "resume", None),
             chunk_size=getattr(args, "chunk_size", None),
+            graph_out=getattr(args, "graph_out", None),
         )
     print(res.to_json())
     return 0

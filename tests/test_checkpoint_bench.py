@@ -360,3 +360,31 @@ def test_point_cloud_from_rgbd():
     # All points must lie on the scene plane: n.X = d.
     n, d = scene.planes[0]
     np.testing.assert_allclose(pts @ n, d, atol=1e-3)
+
+
+def test_benchmark_graph_export(tmp_path):
+    """--graph-out writes the final optimized pose graph as loadable .g2o
+    with one vertex per keyframe (reference g2o interchange)."""
+    import numpy as np
+
+    from dvo_slam_tpu import benchmark
+    from dvo_slam_tpu.utils import g2o_io, synthetic
+
+    import dataclasses
+
+    K = (W * 0.8, W * 0.8, (W - 1) / 2.0, (H - 1) / 2.0)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(8, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    out = str(tmp_path / "graph.g2o")
+    # Switch on every frame so the exported graph has real edges (the tiny
+    # orbit never degrades entropy enough on its own).
+    cfg = dataclasses.replace(SLAM, min_entropy_ratio=2.0)
+    res = benchmark.run_sequence(
+        ((i / 30.0, f[0], f[1]) for i, f in enumerate(frames)),
+        K, TRACKER, cfg, mode="keyframe", warmup=0, graph_out=out,
+    )
+    g = g2o_io.load_g2o(out)
+    assert int(g.num_vertices) == res.num_keyframes >= 2
+    assert int(g.num_edges) >= res.num_keyframes - 1
+    assert np.isfinite(np.asarray(g.poses[:int(g.num_vertices)])).all()
