@@ -161,6 +161,17 @@ def main(argv=None):
     p.add_argument("groundtruth", help="TUM-format groundtruth file")
     p.add_argument("--rpe-delta", type=int, default=1)
 
+    p = sub.add_parser(
+        "optimize-graph",
+        help="standalone pose-graph optimization on a .g2o file (the g2o "
+             "CLI optimizer equivalent, on the device LM backend)",
+    )
+    p.add_argument("graph", help="input .g2o file")
+    p.add_argument("--out", required=True, help="optimized .g2o output")
+    p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--no-robust-kernel", action="store_true")
+    p.add_argument("--cauchy-c", type=float, default=1.0)
+
     args = ap.parse_args(argv)
 
     if args.command == "viz":
@@ -175,6 +186,23 @@ def main(argv=None):
             address, unix = (args.host, args.tcp or 7447), False
         n = node.view(address, viz, unix=unix, max_poses=args.max_poses)
         print(f"viewed {n} poses -> {args.out}", file=sys.stderr)
+        return 0
+
+    if args.command == "optimize-graph":
+        import numpy as np
+
+        from dvo_slam_tpu.models import pose_graph
+        from dvo_slam_tpu.utils import g2o_io
+
+        g = g2o_io.load_g2o(args.graph)
+        solved, chi2, _ = pose_graph.optimize(
+            g, iterations=args.iterations,
+            use_robust=not args.no_robust_kernel,
+            cauchy_c=args.cauchy_c,
+        )
+        g2o_io.save_g2o(args.out, solved)
+        print(f"vertices {int(g.num_vertices)} edges {int(g.num_edges)} "
+              f"final_chi2 {float(np.asarray(chi2)):.6g}")
         return 0
 
     if args.command == "evaluate":

@@ -73,3 +73,28 @@ def test_g2o_load_grows_capacity(tmp_path):
     np.testing.assert_allclose(
         np.asarray(g2.poses[:12]), np.asarray(g.poses[:12]), atol=1e-5
     )
+
+
+def test_cli_optimize_graph(tmp_path):
+    """`cli optimize-graph`: standalone g2o-in -> optimized g2o-out (the
+    g2o CLI optimizer equivalent) reduces chi2 on a drifted chain."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pose_graph import _chain_graph
+
+    from dvo_slam_tpu import cli
+    from dvo_slam_tpu.models import pose_graph
+
+    g, _, _ = _chain_graph(n=8, drift=0.05, max_v=16, max_e=32)
+    src = str(tmp_path / "in.g2o")
+    dst = str(tmp_path / "out.g2o")
+    g2o_io.save_g2o(src, g)
+    rc = cli.main(["optimize-graph", src, "--out", dst,
+                   "--iterations", "30"])
+    assert rc == 0
+    solved = g2o_io.load_g2o(dst)
+    _, chi2_before, _ = pose_graph.optimize(g, iterations=1)
+    _, chi2_after, _ = pose_graph.optimize(solved, iterations=1)
+    assert float(chi2_after) < float(chi2_before)
+    assert np.isfinite(np.asarray(solved.poses[:8])).all()
