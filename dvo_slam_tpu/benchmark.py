@@ -39,6 +39,21 @@ class BenchmarkResult:
         return json.dumps(dataclasses.asdict(self))
 
 
+def _relaxed_warm_cfg(slam_cfg: SlamConfig) -> SlamConfig:
+    """Warmup SlamConfig: host-side-only relaxations that make a 2-frame
+    repeated warm run hit every compile unit (keyframe switches, the
+    loop-closure validation batch) — traced compile keys are unchanged
+    (the scan keys on ScanConfig; validators key on tracker configs)."""
+    return dataclasses.replace(
+        slam_cfg,
+        min_constraint_distance=1,
+        new_constraint_search_radius=1e9,
+        min_entropy_ratio_coarse=-1e9,
+        min_entropy_ratio_fine=-1e9,
+        cross_validation_threshold=1e9,
+    )
+
+
 def run_sequence(
     frame_iter,
     K,
@@ -134,20 +149,17 @@ def run_sequence(
                     vals = " ".join(f"{v:.9e}" for v in cov.reshape(-1))
                     fh.write(f"{ts:.6f} {vals}\n")
     elif chunk_size:
-        import dataclasses as _dc
-
         from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 
-        slam_cfg_c = slam_cfg  # chunked engine has full feature parity
         if resume:
             from dvo_slam_tpu.utils import checkpoint
 
             slam = checkpoint.load_slam(
-                resume, K, tracker_cfg, slam_cfg_c,
+                resume, K, tracker_cfg, slam_cfg,
                 enable_loop_closure=(mode == "slam"), chunked=True,
             )
         else:
-            slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg_c,
+            slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg,
                                        enable_loop_closure=(mode == "slam"))
             slam.init(t0_pose)
 
@@ -161,15 +173,8 @@ def run_sequence(
                     [t0 + i / 30.0 for i in range(n)])
 
         if warmup and len(head) >= 2:
-            warm_cfg = _dc.replace(
-                slam_cfg_c,
-                min_constraint_distance=1,
-                new_constraint_search_radius=1e9,
-                min_entropy_ratio_coarse=-1e9,
-                min_entropy_ratio_fine=-1e9,
-                cross_validation_threshold=1e9,
-            )  # host-side relaxations only: compile keys unchanged
-            warm = ChunkedKeyframeSlam(K, tracker_cfg, warm_cfg,
+            warm = ChunkedKeyframeSlam(K, tracker_cfg,
+                                       _relaxed_warm_cfg(slam_cfg),
                                        enable_loop_closure=(mode == "slam"))
             warm.init()
             warm.update_chunk(*_warm_chunk(1, 0.0))  # consume init frame
@@ -225,10 +230,7 @@ def run_sequence(
             checkpoint.save_slam(checkpoint_out, slam)
         traj = slam.finish()
         if graph_out:
-            from dvo_slam_tpu.utils import g2o_io
-
-            slam._sync_poses()
-            g2o_io.save_g2o(graph_out, slam.graph)
+            slam.export_graph(graph_out)
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
     else:
@@ -250,15 +252,7 @@ def run_sequence(
         # (the reference amortizes nothing, but its first frame costs
         # microseconds, not an XLA compile).
         if warmup and len(head) >= 2:
-            warm_cfg = dataclasses.replace(
-                slam_cfg,
-                min_constraint_distance=1,
-                new_constraint_search_radius=1e9,
-                min_entropy_ratio_coarse=-1e9,
-                min_entropy_ratio_fine=-1e9,
-                cross_validation_threshold=1e9,
-            )  # relaxations are host-side only: compile keys unchanged
-            warm = KeyframeSlam(K, tracker_cfg, warm_cfg,
+            warm = KeyframeSlam(K, tracker_cfg, _relaxed_warm_cfg(slam_cfg),
                                 enable_loop_closure=(mode == "slam"))
             warm.init()
             (_, i0, d0), (_, i1, d1) = head[0], head[1]
@@ -282,10 +276,7 @@ def run_sequence(
             checkpoint.save_slam(checkpoint_out, slam)
         traj = slam.finish()
         if graph_out:
-            from dvo_slam_tpu.utils import g2o_io
-
-            slam._sync_poses()
-            g2o_io.save_g2o(graph_out, slam.graph)
+            slam.export_graph(graph_out)
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
 

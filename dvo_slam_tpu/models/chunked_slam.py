@@ -34,7 +34,6 @@ boundaries yields the same poses (tests/test_chunked_slam.py).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence
 
 import jax
@@ -46,16 +45,7 @@ from dvo_slam_tpu.models import keyframe_scan, local_map
 from dvo_slam_tpu.models.keyframe_tracker import (
     FrameRecord, KeyframeSlam, _stats_record,
 )
-from dvo_slam_tpu.ops import pyramid
 from dvo_slam_tpu.utils import se3_np
-
-
-@functools.partial(jax.jit, static_argnames=("num_levels",))
-def _pyramid_from_chunk(intensities, depths, k, num_levels):
-    """New-keyframe pyramid in ONE dispatch: slices frame k out of the
-    already-uploaded chunk inside the jit (an eager slice + eager pyramid
-    build is many separate command submissions over a remoted device)."""
-    return pyramid.build_pyramid(intensities[k], depths[k], num_levels)
 
 
 class ChunkedKeyframeSlam(KeyframeSlam):
@@ -221,7 +211,7 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                                 self.frames[fi].T_kf_frame = T
                         if len(self._local_map) == before + 1:
                             Z_new = refined[-1]
-                pyr = _pyramid_from_chunk(
+                pyr = keyframe_scan.pyramid_from_stack(
                     intensities, depths, start + k,
                     self.tracker_cfg.num_levels,
                 )

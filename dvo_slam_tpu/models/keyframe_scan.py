@@ -253,7 +253,7 @@ def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
     T_total = intensities.shape[0]
     if force_keyframe is None:
         force_keyframe = jnp.zeros(T_total, bool)
-    pyr0 = _first_pyramid_jit(intensities, depths, cfg.num_levels)
+    pyr0 = pyramid_from_stack(intensities, depths, 0, cfg.num_levels)
     _, outs = track_keyframe_chunk(
         init_carry(pyr0), intensities[1:], depths[1:], K, cfg, slam_cfg,
         force_keyframe=force_keyframe[1:], with_stats=with_stats,
@@ -262,10 +262,12 @@ def track_keyframe_sequence(intensities, depths, K, cfg: TrackerConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("num_levels",))
-def _first_pyramid_jit(intensities, depths, num_levels):
-    """Frame-0 pyramid in one dispatch (the sequence wrapper is not itself
-    jitted; an eager build would be ~20 command submissions)."""
-    return pyramid.build_pyramid(intensities[0], depths[0], num_levels)
+def pyramid_from_stack(intensities, depths, k, num_levels):
+    """Pyramid of frame k of a (T, H, W) stack in ONE dispatch: an eager
+    slice + eager build is many separate command submissions (tens of ms
+    over a remoted device). Used for frame 0 here and for keyframe-switch
+    replay in the chunked engine."""
+    return pyramid.build_pyramid(intensities[k], depths[k], num_levels)
 
 
 def compose_keyframe_trajectory(outs, T0=None):

@@ -402,6 +402,14 @@ class KeyframeSlam:
             for f in self.frames
         ]
 
+    def export_graph(self, path: str) -> None:
+        """Write the current (latest-solve) pose graph as .g2o — the
+        reference backend's interchange format (g2o_viewer etc.)."""
+        from dvo_slam_tpu.utils import g2o_io
+
+        self._sync_poses()
+        g2o_io.save_g2o(path, self.graph)
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
