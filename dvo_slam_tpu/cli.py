@@ -119,6 +119,8 @@ def main(argv=None):
     p.add_argument("--mode", default="slam",
                    choices=["slam", "keyframe", "odometry"])
     p.add_argument("--trajectory-out", default=None)
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="run through the chunked device-resident front-end")
     _add_tracker_args(p)
     _add_slam_args(p)
 
@@ -257,7 +259,7 @@ def main(argv=None):
         res = benchmark.run_synthetic(
             num_frames=args.frames, width=args.width, height=args.height,
             tracker_cfg=tracker_cfg, slam_cfg=slam_cfg, mode=args.mode,
-            trajectory_out=args.trajectory_out,
+            trajectory_out=args.trajectory_out, chunk_size=args.chunk_size,
         )
     else:
         from dvo_slam_tpu.ops import camera
