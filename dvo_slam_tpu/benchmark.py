@@ -39,6 +39,14 @@ class BenchmarkResult:
         return json.dumps(dataclasses.asdict(self))
 
 
+def _write_covariances(path: str, covariances) -> None:
+    """'timestamp v00 .. v55' per line (PoseWithCovarianceStamped payload)."""
+    with open(path, "w") as fh:
+        for ts, cov in covariances:
+            vals = " ".join(f"{v:.9e}" for v in np.asarray(cov).reshape(-1))
+            fh.write(f"{ts:.6f} {vals}\n")
+
+
 def _relaxed_warm_cfg(slam_cfg: SlamConfig) -> SlamConfig:
     """Warmup SlamConfig: host-side-only relaxations that make a 2-frame
     repeated warm run hit every compile unit (keyframe switches, the
@@ -87,9 +95,10 @@ def run_sequence(
     may be None for frames without a groundtruth match (mocap dropouts) —
     those frames are EXCLUDED from ATE/RPE, as the TUM evaluation tools do.
 
-    covariance_out: odometry mode only — write per-frame 6x6 pose
-    covariances (Information^{-1}; the reference publishes these as
-    PoseWithCovarianceStamped) as 'timestamp v00 .. v55' lines.
+    covariance_out: write per-frame 6x6 pose covariances
+    (Information^{-1}; the reference publishes these as
+    PoseWithCovarianceStamped) as 'timestamp v00 .. v55' lines — all
+    modes (odometry and the keyframe engines).
 
     checkpoint_out / resume: slam/keyframe modes — save the full SLAM
     state (.npz) after the frame loop (pre-finish, i.e. the resumable
@@ -144,10 +153,7 @@ def run_sequence(
         num_keyframes = 0
         num_loop_edges = 0
         if covariance_out:
-            with open(covariance_out, "w") as fh:
-                for ts, cov in odo.covariances:
-                    vals = " ".join(f"{v:.9e}" for v in cov.reshape(-1))
-                    fh.write(f"{ts:.6f} {vals}\n")
+            _write_covariances(covariance_out, odo.covariances)
     elif chunk_size:
         from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 
@@ -158,9 +164,13 @@ def run_sequence(
                 resume, K, tracker_cfg, slam_cfg,
                 enable_loop_closure=(mode == "slam"), chunked=True,
             )
+            slam.collect_covariance = covariance_out is not None
         else:
-            slam = ChunkedKeyframeSlam(K, tracker_cfg, slam_cfg,
-                                       enable_loop_closure=(mode == "slam"))
+            slam = ChunkedKeyframeSlam(
+                K, tracker_cfg, slam_cfg,
+                enable_loop_closure=(mode == "slam"),
+                collect_covariance=covariance_out is not None,
+            )
             slam.init(t0_pose)
 
         warm = None
@@ -231,6 +241,8 @@ def run_sequence(
         traj = slam.finish()
         if graph_out:
             slam.export_graph(graph_out)
+        if covariance_out:
+            _write_covariances(covariance_out, slam.covariances)
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
     else:
@@ -241,9 +253,12 @@ def run_sequence(
                 resume, K, tracker_cfg, slam_cfg,
                 enable_loop_closure=(mode == "slam"),
             )
+            slam.collect_covariance = covariance_out is not None
         else:
             slam = KeyframeSlam(
-                K, tracker_cfg, slam_cfg, enable_loop_closure=(mode == "slam")
+                K, tracker_cfg, slam_cfg,
+                enable_loop_closure=(mode == "slam"),
+                collect_covariance=covariance_out is not None,
             )
             slam.init(t0_pose)
         # Warm EVERY compile unit the timed loop can hit — dual tracking,
@@ -277,6 +292,8 @@ def run_sequence(
         traj = slam.finish()
         if graph_out:
             slam.export_graph(graph_out)
+        if covariance_out:
+            _write_covariances(covariance_out, slam.covariances)
         num_keyframes = len(slam.keyframes)
         num_loop_edges = slam.num_loop_edges
 

@@ -87,13 +87,12 @@ def main(argv=None):
         p.add_argument("--max-frames", type=int, default=None)
         p.add_argument("--fr", type=int, default=1, choices=[1, 2, 3],
                        help="TUM freiburg calibration set")
-        if mode == "odometry":
-            p.add_argument(
-                "--covariance-out", default=None,
-                help="write per-frame 6x6 pose covariances "
-                     "(Information^{-1}; reference PoseWithCovarianceStamped)",
-            )
-        else:
+        p.add_argument(
+            "--covariance-out", default=None,
+            help="write per-frame 6x6 pose covariances "
+                 "(Information^{-1}; reference PoseWithCovarianceStamped)",
+        )
+        if mode != "odometry":
             p.add_argument("--checkpoint-out", default=None,
                            help="save full SLAM state (.npz) after the run")
             p.add_argument("--resume", default=None,

@@ -43,7 +43,7 @@ import numpy as np
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models import keyframe_scan, local_map
 from dvo_slam_tpu.models.keyframe_tracker import (
-    FrameRecord, KeyframeSlam, _stats_record,
+    FrameRecord, KeyframeSlam, _cov_from_info, _stats_record,
 )
 from dvo_slam_tpu.utils import se3_np
 
@@ -59,10 +59,12 @@ class ChunkedKeyframeSlam(KeyframeSlam):
 
     def __init__(self, K, tracker_cfg: TrackerConfig = TrackerConfig(),
                  slam_cfg: SlamConfig = SlamConfig(),
-                 enable_loop_closure: bool = True, frame_logger=None):
+                 enable_loop_closure: bool = True, frame_logger=None,
+                 collect_covariance: bool = False):
         super().__init__(K, tracker_cfg, slam_cfg,
                          enable_loop_closure=enable_loop_closure,
-                         frame_logger=frame_logger)
+                         frame_logger=frame_logger,
+                         collect_covariance=collect_covariance)
         self._carry = None
 
     def update(self, intensity, depth, timestamp: float) -> np.ndarray:
@@ -96,6 +98,8 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             self._local_map = local_map.LocalMap(
                 self.slam_cfg.local_map_capacity
             )
+            if self.collect_covariance:
+                self.covariances.append((timestamps[0], np.zeros((6, 6))))
             self._initialized = True
             out_poses.append(self._T0.copy())
             start = 1
@@ -122,9 +126,10 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                  outs["accept"], outs["valid_ratio"])
         lm_on = self.slam_cfg.local_map_optimize
         lm_extra = ()
-        if lm_on:
-            # Raw dual measurements for the windowed LocalMap replay —
-            # same transfer, no extra round trip.
+        if lm_on or self.collect_covariance:
+            # Raw dual measurements for the windowed LocalMap replay and/or
+            # the per-frame covariance stream — same transfer, no extra
+            # round trip.
             lm_extra = (outs["T_kf_meas"], outs["T_odo_meas"],
                         outs["info_pair"], outs["is_nan"])
         fetch = fetch + lm_extra
@@ -225,6 +230,10 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                     self.slam_cfg.local_map_capacity
                 )
                 self.frames.append(FrameRecord(t, new_kf.idx, np.eye(4)))
+                if self.collect_covariance:
+                    # info_switch already followed the per-frame engine's
+                    # measurement-selection fallback chain.
+                    self.covariances.append((t, _cov_from_info(infos[k])))
                 out_poses.append(self._world_pose(new_kf.idx, np.eye(4)))
                 continue
 
@@ -243,6 +252,10 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                     None if odo_nan_k
                     else (np.asarray(odo_meas[k], np.float64),
                           np.asarray(info_pair[k][1], np.float64)),
+                )
+            if self.collect_covariance:
+                self.covariances.append(
+                    (t, _cov_from_info(info_pair[k][0]))
                 )
             out_poses.append(self._world_pose(kf.idx, T_kf_cur))
         return out_poses

@@ -53,6 +53,19 @@ def _host_graph(graph):
     return jax.tree.map(lambda a: np.asarray(a).copy(), graph)
 
 
+def _cov_from_info(info) -> np.ndarray:
+    """Covariance = Information^{-1} (f64), NaN matrix when unusable —
+    the reference's PoseWithCovarianceStamped payload."""
+    cov = np.full((6, 6), np.nan)
+    info = np.asarray(info, np.float64)
+    if np.isfinite(info).all():
+        try:
+            cov = np.linalg.inv(info)
+        except np.linalg.LinAlgError:
+            pass
+    return cov
+
+
 @functools.partial(jax.jit, static_argnames=("num_levels",))
 def _build_pyramid_jit(intensity, depth, num_levels):
     """Pyramid build as ONE dispatch: the eager op-by-op form costs ~20
@@ -122,14 +135,23 @@ class KeyframeSlam:
         slam_cfg: SlamConfig = SlamConfig(),
         enable_loop_closure: bool = True,
         frame_logger=None,
+        collect_covariance: bool = False,
     ):
         """frame_logger: optional utils.stats.FrameLogger; when set, every
         update() appends a structured record with the per-iteration
-        tracking statistics (reference per-frame Stats + ROS_INFO logs)."""
+        tracking statistics (reference per-frame Stats + ROS_INFO logs).
+
+        collect_covariance: keep a per-frame (timestamp, (6,6) f64)
+        covariance list (Information^{-1} of the accepted keyframe
+        alignment — what the reference's keyframe-tracker node publishes
+        as PoseWithCovarianceStamped). The information matrix is already
+        part of each frame's fetch, so this costs one host inverse."""
         self.tracker_cfg = tracker_cfg
         self.slam_cfg = slam_cfg
         self.enable_loop_closure = enable_loop_closure
         self.frame_logger = frame_logger
+        self.collect_covariance = collect_covariance
+        self.covariances: List[Tuple[float, np.ndarray]] = []
         self.K = camera.intrinsics(*K) if not hasattr(K, "shape") else jnp.asarray(K)
         self.Ks = camera.pyramid_intrinsics(self.K, tracker_cfg.num_levels)
         # Loop-closure validation configs (coarse stage tracks only the
@@ -221,6 +243,8 @@ class KeyframeSlam:
             self.frames.append(
                 FrameRecord(timestamp, self.keyframes[-1].idx, np.eye(4))
             )
+            if self.collect_covariance:
+                self.covariances.append((timestamp, np.zeros((6, 6))))
             return self._T0.copy()
 
         kf = self.keyframes[-1]
@@ -310,6 +334,10 @@ class KeyframeSlam:
             self._T_kf_prev = T_kf_cur
             self._prev_pyr = pyr
             self.frames.append(FrameRecord(timestamp, kf.idx, T_kf_cur.copy()))
+            if self.collect_covariance:
+                self.covariances.append(
+                    (timestamp, _cov_from_info(informations[0]))
+                )
             if self.slam_cfg.local_map_optimize:
                 self._local_map.add_frame(
                     len(self.frames) - 1,
@@ -374,6 +402,9 @@ class KeyframeSlam:
         self._T_kf_prev = np.eye(4)
         self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         self.frames.append(FrameRecord(timestamp, new_kf.idx, np.eye(4)))
+        if self.collect_covariance:
+            # Same measurement-selection chain as the Z_new fallback.
+            self.covariances.append((timestamp, _cov_from_info(info)))
         return self._world_pose(new_kf.idx, np.eye(4))
 
     def finish(self) -> List[Tuple[float, np.ndarray]]:

@@ -144,6 +144,7 @@ class SlamNode:
                 K, tracker_cfg, slam_cfg,
                 enable_loop_closure=(mode == "slam"),
                 frame_logger=frame_logger,
+                collect_covariance=with_covariance,
             )
         self.engine.init()
 
@@ -158,8 +159,7 @@ class SlamNode:
             is_kf = len(self.engine.keyframes) > n_kf_before
         msg = {"t": t, "pose": np.asarray(pose).reshape(-1).tolist(),
                "keyframe": bool(is_kf)}
-        if self.mode == "odometry" and self.with_covariance \
-                and self.engine.covariances:
+        if self.with_covariance and self.engine.covariances:
             cov = self.engine.covariances[-1][1]
             # Strict JSON has no NaN/Infinity tokens; a tracking-failure
             # frame's non-finite covariance would break non-Python

@@ -388,3 +388,37 @@ def test_benchmark_graph_export(tmp_path):
     assert int(g.num_vertices) == res.num_keyframes >= 2
     assert int(g.num_edges) >= res.num_keyframes - 1
     assert np.isfinite(np.asarray(g.poses[:int(g.num_vertices)])).all()
+
+
+def test_slam_covariance_export(tmp_path):
+    """Per-frame covariance export from the KEYFRAME engines (the
+    reference keyframe-tracker node publishes PoseWithCovarianceStamped
+    too), per-frame and chunked paths."""
+    import numpy as np
+
+    from dvo_slam_tpu import benchmark
+    from dvo_slam_tpu.utils import synthetic
+
+    K = (W * 0.8, W * 0.8, (W - 1) / 2.0, (H - 1) / 2.0)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(6, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+
+    for chunk in (None, 3):
+        cov_path = str(tmp_path / f"cov_{chunk}.txt")
+        benchmark.run_sequence(
+            ((i / 30.0, f[0], f[1]) for i, f in enumerate(frames)),
+            K, TRACKER, SLAM, mode="keyframe", warmup=0,
+            covariance_out=cov_path, chunk_size=chunk,
+        )
+        rows = [line.split() for line in open(cov_path)]
+        assert len(rows) == 6, chunk
+        assert all(len(r) == 37 for r in rows)
+        # First frame (the anchor keyframe) has zero covariance; later
+        # frames carry a real SPD covariance.
+        c0 = np.asarray([float(v) for v in rows[0][1:]]).reshape(6, 6)
+        np.testing.assert_allclose(c0, 0.0)
+        c2 = np.asarray([float(v) for v in rows[2][1:]]).reshape(6, 6)
+        assert np.isfinite(c2).all()
+        np.testing.assert_allclose(c2, c2.T, atol=1e-12)
+        assert (np.linalg.eigvalsh(c2) > 0).all()
