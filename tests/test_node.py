@@ -228,3 +228,26 @@ def test_live_odometry_covariance(tmp_path):
     assert len(final["trajectory"]) == len(frames)
     client.close()
     thread.join(timeout=30)
+
+
+def test_live_slam_covariance(tmp_path):
+    """The SLAM-mode node also publishes per-frame covariance (reference
+    camera_keyframe_tracker PoseWithCovarianceStamped)."""
+    sock_path = str(tmp_path / "slam_cov.sock")
+    thread = _serve_unix(sock_path, "slam", with_covariance=True)
+    client = _wait_socket(sock_path)
+
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(5, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    msgs = [client.send_frame(i / 30.0, f[0], f[1])
+            for i, f in enumerate(frames)]
+    # First frame (anchor keyframe) carries the zero covariance; later
+    # frames a real SPD one.
+    c0 = np.asarray(msgs[0]["covariance"]).reshape(6, 6)
+    np.testing.assert_allclose(c0, 0.0)
+    c2 = np.asarray(msgs[2]["covariance"]).reshape(6, 6)
+    assert np.isfinite(c2).all() and (np.linalg.eigvalsh(c2) > 0).all()
+    client.finish()
+    client.close()
+    thread.join(timeout=30)
