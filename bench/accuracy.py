@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--ate-bound-m", type=float, default=0.02)
     ap.add_argument("--margin", type=int, default=None,
                     help="override pallas window margin (rows)")
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="run through the chunked device-resident "
+                         "front-end (accuracy parity check for the "
+                         "remoted-device fast path)")
     ap.add_argument("--calib-error", type=float, default=0.0,
                     help="relative focal-length miscalibration used for "
                          "tracking (renders use the true K). NOTE: a "
@@ -129,6 +133,7 @@ def main():
         t0 = time.perf_counter()
         res = benchmark.run_tum_dataset(
             out_dir, tracker_cfg, slam_cfg, mode=mode, intrinsics=K_track,
+            chunk_size=args.chunk_size,
         )
         wall = time.perf_counter() - t0
         results[mode] = res
