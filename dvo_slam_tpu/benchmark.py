@@ -98,7 +98,9 @@ def run_sequence(
     covariance_out: write per-frame 6x6 pose covariances
     (Information^{-1}; the reference publishes these as
     PoseWithCovarianceStamped) as 'timestamp v00 .. v55' lines — all
-    modes (odometry and the keyframe engines).
+    modes (odometry and the keyframe engines). Covariances are a live
+    observability stream, not checkpointed state: a resumed run's file
+    covers only the frames processed after the resume.
 
     checkpoint_out / resume: slam/keyframe modes — save the full SLAM
     state (.npz) after the frame loop (pre-finish, i.e. the resumable
