@@ -159,6 +159,14 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         if stats_extra:
             iters_b, stats_b = host[pos], host[pos + 1]
 
+        # The scan carry already holds the pyramid of the LAST in-chunk
+        # switch keyframe (the scan swapped it in on device): reuse it
+        # instead of re-decoding from the raw chunk — zero extra dispatches
+        # per switch in the common one-switch-per-chunk case. Earlier
+        # switches in the same chunk (rare) still rebuild.
+        switch_positions = np.flatnonzero(switch[:n])
+        last_switch = int(switch_positions[-1]) if len(switch_positions) else -1
+
         for k in range(n):
             t = float(timestamps[start + k])
             kf = self.keyframes[-1]
@@ -216,10 +224,13 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                                 self.frames[fi].T_kf_frame = T
                         if len(self._local_map) == before + 1:
                             Z_new = refined[-1]
-                pyr = keyframe_scan.pyramid_from_stack(
-                    intensities, depths, start + k,
-                    self.tracker_cfg.num_levels,
-                )
+                if k == last_switch:
+                    pyr = self._carry["kf"]
+                else:
+                    pyr = keyframe_scan.pyramid_from_stack(
+                        intensities, depths, start + k,
+                        self.tracker_cfg.num_levels,
+                    )
                 T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
                 self._add_keyframe(pyr, t, T_w_new, kf.idx, (Z_new, info))
                 new_kf = self.keyframes[-1]
