@@ -18,6 +18,7 @@ forward and backward problems are just rows of the batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -98,6 +99,158 @@ def _entropy_ratio(entropy, denominator):
     return dense_tracker.entropy_ratio(entropy, denominator)
 
 
+@functools.partial(jax.jit, static_argnames=("coarse_cfg", "fine_cfg"))
+def _validate_batch_jit(refs, new_pyramid, Ks, Tf, Tb,
+                        coarse_cfg: TrackerConfig, fine_cfg: TrackerConfig):
+    """The WHOLE two-stage validation of one padded candidate batch as ONE
+    dispatch: coarse forward + coarse backward + fine re-track (seeded by
+    the coarse forward pose), vmapped over the batch.
+
+    The staged reference pipeline fine-tracks only stage-1 survivors; here
+    the fine stage runs on every padded row — identical device cost
+    (batches are padded to validation_batch regardless) but it removes two
+    dispatch+fetch round trips per batch, and all voting moves to the host
+    after a single transfer. Rows that fail stage-1 voters are discarded on
+    the host, so the accepted set is unchanged.
+    """
+    B = Tf.shape[0]
+    curs = tuple(
+        jnp.broadcast_to(lvl, (B,) + lvl.shape) for lvl in new_pyramid
+    )
+    coarse = lambda r, c, t: dense_tracker.track(r, c, Ks, t, coarse_cfg)
+    fwd = jax.vmap(coarse)(refs, curs, Tf)
+    bwd = jax.vmap(coarse)(curs, refs, Tb)
+    # Fine stage seeded by the coarse forward pose; a NaN coarse row yields
+    # a NaN fine row, rejected by the host NaN voter like before.
+    seed = jnp.where(
+        jnp.isfinite(fwd.transformation).all(axis=(-2, -1), keepdims=True),
+        fwd.transformation,
+        jnp.broadcast_to(jnp.eye(4, dtype=Tf.dtype), Tf.shape),
+    )
+    fine = jax.vmap(
+        lambda r, c, t: dense_tracker.track(r, c, Ks, t, fine_cfg)
+    )(refs, curs, seed)
+    return {
+        "fwd_T": fwd.transformation, "fwd_nan": fwd.is_nan(),
+        "fwd_H": fwd.entropy, "fwd_vr": fwd.valid_ratio,
+        "bwd_T": bwd.transformation, "bwd_nan": bwd.is_nan(),
+        "fine_T": fine.transformation, "fine_nan": fine.is_nan(),
+        "fine_H": fine.entropy, "fine_vr": fine.valid_ratio,
+        "fine_info": fine.information,
+    }
+
+
+@dataclasses.dataclass
+class PendingValidation:
+    """In-flight validation batches: device handles + candidate metadata.
+
+    The reference validates constraints on the background graph thread
+    (dvo_slam/src/keyframe_graph.cpp); here the batched dispatch plays that
+    role — the host is free between dispatch_validation and
+    collect_validation while the chip works."""
+
+    chunks: List[List[ConstraintCandidate]]
+    handles: List[dict]
+
+
+def dispatch_validation(
+    candidates: List[ConstraintCandidate],
+    keyframe_pyramids,
+    new_pyramid,
+    Ks,
+    coarse_cfg: TrackerConfig,
+    fine_cfg: TrackerConfig,
+    slam_cfg: SlamConfig,
+) -> Optional[PendingValidation]:
+    """Dispatch every validation batch WITHOUT fetching results."""
+    if not candidates:
+        return None
+    B = slam_cfg.validation_batch
+    chunks, handles = [], []
+    for start in range(0, len(candidates), B):
+        chunk = candidates[start : start + B]
+        pyrs = [keyframe_pyramids[c.keyframe_idx] for c in chunk]
+        refs, Tf = _pad_batch(pyrs, [c.T_init for c in chunk], B)
+        _, Tb = _pad_batch(
+            pyrs, [se3_np.inverse(c.T_init) for c in chunk], B
+        )
+        handles.append(
+            _validate_batch_jit(refs, new_pyramid, Ks, Tf, Tb,
+                                coarse_cfg, fine_cfg)
+        )
+        chunks.append(chunk)
+    return PendingValidation(chunks=chunks, handles=handles)
+
+
+def collect_validation(
+    pending: Optional[PendingValidation],
+    keyframe_entropies,
+    slam_cfg: SlamConfig,
+) -> List[AcceptedConstraint]:
+    """Fetch dispatched validation batches (one transfer) and apply the
+    voters on host. keyframe_entropies is read at COLLECT time, matching
+    the synchronous pipeline (history up to the proposing switch)."""
+    if pending is None:
+        return []
+    host = jax.device_get(pending.handles)
+    accepted: List[AcceptedConstraint] = []
+    for chunk, r in zip(pending.chunks, host):
+        for k, c in enumerate(chunk):
+            # --- stage 1 voters (coarse results) ---
+            if bool(r["fwd_nan"][k]) or bool(r["bwd_nan"][k]):
+                continue  # NaNResultVoter
+            T_f = np.asarray(r["fwd_T"][k], np.float64)
+            T_b = np.asarray(r["bwd_T"][k], np.float64)
+            # CrossValidationVoter: forward o backward ~ identity.
+            consistency = np.linalg.norm(se3_np.log(T_f @ T_b))
+            if consistency > slam_cfg.cross_validation_threshold:
+                continue
+            # TrackingResultEvaluationVoter (coarse threshold).
+            ratio = _entropy_ratio(
+                float(r["fwd_H"][k]), keyframe_entropies[c.keyframe_idx]
+            )
+            if ratio < slam_cfg.min_entropy_ratio_coarse:
+                continue
+            if float(r["fwd_vr"][k]) < slam_cfg.min_constraint_ratio:
+                continue  # ConstraintRatioVoter
+            if not _odometry_vote(T_f, c.T_init, slam_cfg):
+                continue  # OdometryConstraintVoter
+
+            # --- stage 2 voters (fine re-track seeded by the coarse pose) ---
+            if bool(r["fine_nan"][k]):
+                continue
+            ratio = _entropy_ratio(
+                float(r["fine_H"][k]), keyframe_entropies[c.keyframe_idx]
+            )
+            if ratio < slam_cfg.min_entropy_ratio_fine:
+                continue
+            if float(r["fine_vr"][k]) < slam_cfg.min_constraint_ratio:
+                continue
+            # OdometryConstraintVoter on the FINE result too: a fine
+            # re-track can converge into a different (self-similarity)
+            # basin than the cross-validated coarse pose; a fine pose far
+            # from both the graph prediction and the coarse estimate is a
+            # false positive, not refinement.
+            T_fine = np.asarray(r["fine_T"][k], np.float64)
+            if not _odometry_vote(T_fine, c.T_init, slam_cfg):
+                continue
+            fine_step = np.linalg.norm(se3_np.log(T_fine @ se3_np.inverse(T_f)))
+            if fine_step > slam_cfg.cross_validation_threshold:
+                continue
+            # Tracker returns T: candidate-cam -> new-cam, i.e.
+            # p_new = T p_cand. Graph edge convention: Z = T_i^{-1} T_j with
+            # i = candidate, j = new, poses world<-cam: Z = inv(T).
+            accepted.append(
+                AcceptedConstraint(
+                    keyframe_idx=c.keyframe_idx,
+                    new_idx=c.new_idx,
+                    measurement=se3_np.inverse(T_fine),
+                    information=np.asarray(r["fine_info"][k], np.float64),
+                )
+            )
+    return accepted
+
+
 def validate_candidates(
     candidates: List[ConstraintCandidate],
     keyframe_pyramids,
@@ -121,102 +274,12 @@ def validate_candidates(
     Voters applied (reference dvo_slam/src/constraints/*): NaN result,
     cross-validation (T_fwd o T_bwd ~ I), entropy ratio (coarse + fine),
     constraint ratio, and the odometry-constraint voter (_odometry_vote).
+
+    Synchronous form: dispatch_validation + collect_validation back to
+    back. One fused dispatch and one transfer per candidate batch.
     """
-    if not candidates:
-        return []
-    B = slam_cfg.validation_batch
-    accepted: List[AcceptedConstraint] = []
-
-    for start in range(0, len(candidates), B):
-        chunk = candidates[start : start + B]
-        n = len(chunk)
-        pyrs = [keyframe_pyramids[c.keyframe_idx] for c in chunk]
-        T_fwd0 = [c.T_init for c in chunk]
-        T_bwd0 = [se3_np.inverse(c.T_init) for c in chunk]
-
-        refs, Tf = _pad_batch(pyrs, T_fwd0, B)
-        curs_new = tuple(jnp.broadcast_to(lvl, (B,) + lvl.shape) for lvl in new_pyramid)
-        _, Tb = _pad_batch(pyrs, T_bwd0, B)
-
-        # --- stage 1: coarse, both directions (two batched calls) ---
-        fwd = dense_tracker.track_pairs_batched(refs, curs_new, Ks, Tf, coarse_cfg)
-        bwd = dense_tracker.track_pairs_batched(curs_new, refs, Ks, Tb, coarse_cfg)
-        # Single device->host transfer per stage (per-scalar reads pay a
-        # full dispatch round trip each on remoted devices).
-        (fwd_T, fwd_nan, fwd_H, fwd_vr), (bwd_T, bwd_nan) = jax.device_get((
-            (fwd.transformation, fwd.is_nan(), fwd.entropy, fwd.valid_ratio),
-            (bwd.transformation, bwd.is_nan()),
-        ))
-
-        survivors = []
-        for k in range(n):
-            c = chunk[k]
-            if bool(fwd_nan[k]) or bool(bwd_nan[k]):
-                continue  # NaNResultVoter
-            T_f = np.asarray(fwd_T[k], np.float64)
-            T_b = np.asarray(bwd_T[k], np.float64)
-            # CrossValidationVoter: forward o backward ~ identity.
-            consistency = np.linalg.norm(se3_np.log(T_f @ T_b))
-            if consistency > slam_cfg.cross_validation_threshold:
-                continue
-            # TrackingResultEvaluationVoter (coarse threshold).
-            ratio = _entropy_ratio(
-                float(fwd_H[k]), keyframe_entropies[c.keyframe_idx]
-            )
-            if ratio < slam_cfg.min_entropy_ratio_coarse:
-                continue
-            if float(fwd_vr[k]) < slam_cfg.min_constraint_ratio:
-                continue  # ConstraintRatioVoter
-            if not _odometry_vote(T_f, c.T_init, slam_cfg):
-                continue  # OdometryConstraintVoter
-            survivors.append((k, c, T_f))
-
-        if not survivors:
-            continue
-
-        # --- stage 2: fine re-track of survivors, seeded by coarse pose ---
-        pyrs2 = [keyframe_pyramids[c.keyframe_idx] for _, c, _ in survivors]
-        T2 = [T for _, _, T in survivors]
-        refs2, Tf2 = _pad_batch(pyrs2, T2, B)
-        fine = dense_tracker.track_pairs_batched(refs2, curs_new, Ks, Tf2, fine_cfg)
-        fine_T, fine_nan, fine_H, fine_vr, fine_info = jax.device_get((
-            fine.transformation, fine.is_nan(), fine.entropy,
-            fine.valid_ratio, fine.information,
-        ))
-
-        for s, (_, c, coarse_T) in enumerate(survivors):
-            if bool(fine_nan[s]):
-                continue
-            ratio = _entropy_ratio(
-                float(fine_H[s]), keyframe_entropies[c.keyframe_idx]
-            )
-            if ratio < slam_cfg.min_entropy_ratio_fine:
-                continue
-            if float(fine_vr[s]) < slam_cfg.min_constraint_ratio:
-                continue
-            # OdometryConstraintVoter on the FINE result too: a fine
-            # re-track can converge into a different (self-similarity)
-            # basin than the cross-validated coarse pose; a fine pose far
-            # from both the graph prediction and the coarse estimate is a
-            # false positive, not refinement.
-            T_fine = np.asarray(fine_T[s], np.float64)
-            if not _odometry_vote(T_fine, c.T_init, slam_cfg):
-                continue
-            fine_step = np.linalg.norm(
-                se3_np.log(T_fine @ se3_np.inverse(coarse_T))
-            )
-            if fine_step > slam_cfg.cross_validation_threshold:
-                continue
-            # Tracker returns T: candidate-cam -> new-cam, i.e.
-            # p_new = T p_cand. Graph edge convention: Z = T_i^{-1} T_j with
-            # i = candidate, j = new, poses world<-cam: Z = inv(T).
-            measurement = se3_np.inverse(np.asarray(fine_T[s], np.float64))
-            accepted.append(
-                AcceptedConstraint(
-                    keyframe_idx=c.keyframe_idx,
-                    new_idx=c.new_idx,
-                    measurement=measurement,
-                    information=np.asarray(fine_info[s], np.float64),
-                )
-            )
-    return accepted
+    pending = dispatch_validation(
+        candidates, keyframe_pyramids, new_pyramid, Ks,
+        coarse_cfg, fine_cfg, slam_cfg,
+    )
+    return collect_validation(pending, keyframe_entropies, slam_cfg)

@@ -555,7 +555,7 @@ class KeyframeSlam:
         # adding, and adds precede this dispatch).
         self._sync_poses()
         g_opt, chi2, _ = pose_graph.optimize(
-            self.graph,
+            self._solve_view(),
             iterations=iterations,
             use_robust=self.slam_cfg.use_robust_kernel,
             cauchy_c=self.slam_cfg.cauchy_c,
@@ -566,6 +566,18 @@ class KeyframeSlam:
         )
         self._pending_poses = g_opt.poses  # device; fetched lazily
         self._poses_stale = True
+
+    def _solve_view(self) -> pose_graph.PoseGraph:
+        """Crop the host graph to power-of-two buckets of the ACTIVE sizes
+        before a solve: the dense device system scales with the uploaded
+        capacity, so solving a 30-keyframe graph inside a 256-slot pad
+        wastes ~600x the FLOPs (and at M=1024 the padded Hessian alone is
+        151 MB). Bucketing keeps distinct solver compiles O(log N); the
+        reference's sparse g2o always factorizes exactly the active system
+        (SURVEY.md §4.6)."""
+        Mb = pose_graph.bucket(len(self.keyframes), 16)
+        Eb = pose_graph.bucket(int(self.graph.num_edges), 64)
+        return pose_graph.crop(self.graph, Mb, Eb)
 
     def _sync_poses(self):
         """Blocking fetch of the device-optimized poses into kf_poses."""
@@ -591,7 +603,7 @@ class KeyframeSlam:
         OptimizationRemoveOutliers + OutlierWeightThreshold)."""
         self._sync_poses()  # weights must reflect the latest solve
         _, _, weights = pose_graph.optimize(
-            self.graph,
+            self._solve_view(),
             iterations=1,
             use_robust=self.slam_cfg.use_robust_kernel,
             cauchy_c=self.slam_cfg.cauchy_c,

@@ -91,7 +91,11 @@ class LocalMap:
         # solve uploads it in one transfer — eager .at[].set assembly costs
         # a dispatch round trip per field (~100 ms per keyframe switch
         # over a remoted device; see keyframe_tracker's host graph).
-        poses = np.tile(np.eye(4, dtype=np.float32), (self.capacity, 1, 1))
+        # Pad to the active bucket, not full capacity: entropy-cadence
+        # windows are ~10-20 frames, so solving inside the default 64-slot
+        # pad wastes ~30x the FLOPs per switch (pose_graph.bucket).
+        cap = min(self.capacity, pose_graph.bucket(n + 1, 16))
+        poses = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
         for i, est in enumerate(self.estimates):
             poses[i + 1] = se3_np.inverse(est).astype(np.float32)
 
@@ -113,7 +117,7 @@ class LocalMap:
             return list(self.estimates)
 
         E = len(ei)
-        cap_e = 2 * self.capacity
+        cap_e = 2 * cap
         assert E <= cap_e
         edge_i = np.zeros(cap_e, np.int32)
         edge_j = np.zeros(cap_e, np.int32)

@@ -93,6 +93,42 @@ def grow(graph: PoseGraph, max_vertices: int = None,
     )
 
 
+def bucket(n: int, minimum: int) -> int:
+    """Next power-of-two capacity >= n (floored at `minimum`).
+
+    Solve cost on a padded graph scales with CAPACITY, not contents (the
+    dense 6M x 6M system is materialized at the padded size): callers crop
+    the padded arrays to bucket(active_size) before a solve so cost tracks
+    the ACTIVE graph, while power-of-two bucketing keeps the number of
+    distinct compiled solver shapes O(log N) over a run (the reference's
+    g2o/CSparse factorizes exactly the active sparse system every time;
+    SURVEY.md §4.6)."""
+    b = max(int(minimum), 1)
+    while b < n:
+        b *= 2
+    return b
+
+
+def crop(graph: PoseGraph, max_vertices: int, max_edges: int) -> PoseGraph:
+    """View of the leading [0:max_vertices) x [0:max_edges) region (the
+    inverse of grow(); on host-numpy graphs the slices are free views).
+    Callers guarantee the active contents fit."""
+    M = min(max_vertices, graph.poses.shape[0])
+    E = min(max_edges, graph.edge_i.shape[0])
+    if M == graph.poses.shape[0] and E == graph.edge_i.shape[0]:
+        return graph
+    return PoseGraph(
+        poses=graph.poses[:M],
+        num_vertices=graph.num_vertices,
+        edge_i=graph.edge_i[:E],
+        edge_j=graph.edge_j[:E],
+        measurements=graph.measurements[:E],
+        information=graph.information[:E],
+        edge_mask=graph.edge_mask[:E],
+        num_edges=graph.num_edges,
+    )
+
+
 def edge_residual(T_i, T_j, Z):
     """e = log(Z^{-1} T_i^{-1} T_j) in R^6 (SURVEY.md §4.6)."""
     return se3.log(se3.inverse(Z) @ se3.inverse(T_i) @ T_j)
