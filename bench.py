@@ -31,6 +31,13 @@ Modes:
   kfscan             — device-resident keyframe odometry (dual alignment +
                        entropy-ratio switching inside lax.scan): the SLAM
                        front-end with ZERO per-frame host round trips
+  slam-lc / chunked-lc — the same workloads with LOOP CLOSURE ON: radius
+                       candidate search + batched two-stage validation +
+                       interleaved graph solves inside the timed loop
+                       (the complete IROS13 system, SURVEY.md §3.4)
+  stream / stream-lc — chunked full SLAM with UPLOAD INCLUDED: raw u8/u16
+                       chunks double-buffered from host memory (the
+                       deployable pipeline number, not just the chip)
 
 Run: python bench.py [--mode M] [--frames N] [--width W --height H]
 """
@@ -60,7 +67,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="odometry",
                     choices=["odometry", "cold", "dual", "slam", "chunked",
-                             "kfscan"])
+                             "kfscan", "slam-lc", "chunked-lc", "stream",
+                             "stream-lc"])
     ap.add_argument("--chunk", type=int, default=16,
                     help="chunked mode: frames per dispatch")
     ap.add_argument("--frames", type=int, default=400)
@@ -102,10 +110,15 @@ def main():
     frames, _ = _render_ring(W, H, K_t, n=args.ring)
     ring = [(jnp.asarray(i), jnp.asarray(z)) for i, z in frames]
 
-    if args.mode == "slam":
-        fps, note = _bench_slam(args, cfg, K_t, frames)
-    elif args.mode == "chunked":
-        fps, note = _bench_chunked(args, cfg, K_t, frames)
+    if args.mode in ("slam", "slam-lc"):
+        fps, note = _bench_slam(args, cfg, K_t, frames,
+                                lc=args.mode == "slam-lc")
+    elif args.mode in ("chunked", "chunked-lc"):
+        fps, note = _bench_chunked(args, cfg, K_t, frames,
+                                   lc=args.mode == "chunked-lc")
+    elif args.mode in ("stream", "stream-lc"):
+        fps, note = _bench_stream(args, cfg, K_t, frames,
+                                  lc=args.mode == "stream-lc")
     elif args.mode == "kfscan":
         fps, note = _bench_kfscan(args, cfg, K_t, ring, jax, jnp)
     else:
@@ -236,11 +249,17 @@ def _bench_kfscan(args, cfg, K_t, ring, jax, jnp):
     return frames_done / elapsed, note
 
 
-def _bench_chunked(args, cfg, K_t, frames):
+def _bench_chunked(args, cfg, K_t, frames, lc=False):
     """Full SLAM via the chunked device-resident front-end: one dispatch +
     one transfer per chunk (models/chunked_slam.py); keyframe switches
     (forced once per chunk, matching slam mode's cadence) replay through
-    the graph backend on the host."""
+    the graph backend on the host.
+
+    lc=True (mode chunked-lc) runs the COMPLETE IROS13 system: radius
+    candidate search + batched two-stage validation + interleaved graph
+    solves, all inside the timed loop. The orbit ring keeps every keyframe
+    inside the search radius, so candidate counts grow with the map — the
+    worst-case (and realistic revisiting) load."""
     from dvo_slam_tpu.config import SlamConfig
     from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 
@@ -272,12 +291,19 @@ def _bench_chunked(args, cfg, K_t, frames):
                 [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
             )
 
-    warm = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    def make():
+        return ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
+
+    # Warmup: with loop closure the candidate count (and the pose-graph
+    # bucket sizes) grow over the run, so a short warm run would leave
+    # solver/validator compiles inside the timed region — warm over the
+    # FULL workload.
+    warm = make()
     warm.init()
-    run(warm, staged[:3], 0.0)
+    run(warm, staged if lc else staged[:3], 0.0)
     warm.finish()
 
-    slam = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    slam = make()
     slam.init()
     t0 = time.perf_counter()
     run(slam, staged, 100.0)
@@ -285,14 +311,84 @@ def _bench_chunked(args, cfg, K_t, frames):
     args_frames = n_chunks * chunk
     note = (f"elapsed={elapsed:.3f}s chunk={chunk} "
             f"keyframes={len(slam.keyframes)} "
+            f"loop_edges={slam.num_loop_edges} "
             f"ms_per_frame={1000 * elapsed / args_frames:.2f} "
-            "(one host round trip per chunk)")
+            "(one host round trip per chunk"
+            + (", loop closure ON)" if lc else ")"))
     return args_frames / elapsed, note
 
 
-def _bench_slam(args, cfg, K_t, frames):
+def _bench_stream(args, cfg, K_t, frames, lc=False):
+    """Full SLAM pipeline fps INCLUDING host->device frame upload.
+
+    The other modes pre-stage frames on device (upload is I/O, not SLAM);
+    this mode measures the deployable streaming pipeline instead: chunks
+    live on the host as RAW sensor data (uint8 intensity + uint16 depth —
+    3 bytes/pixel instead of the f32 pair's 8; conversion happens on
+    device inside the scan), and chunk k+1's `jax.device_put` is issued
+    BEFORE chunk k is consumed, so the transfer rides under the chunk's
+    compute + backend walk (the reference's ROS ingest pipeline gave it
+    the same ingest/compute overlap for free; SURVEY.md §2.5 P4 / R1)."""
+    import jax
+
+    from dvo_slam_tpu.config import SlamConfig
+    from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+
+    slam_cfg = SlamConfig()
+    n_ring = len(frames)
+    chunk = args.chunk
+    n_chunks = (args.frames + chunk - 1) // chunk
+
+    # Host-side RAW chunks (what a sensor/dataset loader produces).
+    raw = []
+    for c in range(n_chunks):
+        sel = [frames[(c * chunk + j) % n_ring] for j in range(chunk)]
+        ints = np.stack([s[0] for s in sel])
+        deps = np.stack([s[1] for s in sel])
+        raw.append((
+            np.clip(ints, 0, 255).astype(np.uint8),
+            np.nan_to_num(deps * 5000.0, nan=0.0).astype(np.uint16),
+        ))
+
+    def run(slam, t_base):
+        staged = jax.device_put(raw[0])
+        for c in range(n_chunks):
+            cur = staged
+            if c + 1 < n_chunks:
+                # Double buffer: next chunk's upload overlaps this chunk's
+                # tracking dispatch + backend walk.
+                staged = jax.device_put(raw[c + 1])
+            if c > 0:
+                slam.force_keyframe()
+            slam.update_chunk(
+                cur[0], cur[1],
+                [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
+            )
+
+    warm = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
+    warm.init()
+    run(warm, 0.0)
+    warm.finish()
+
+    slam = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
+    slam.init()
+    t0 = time.perf_counter()
+    run(slam, 100.0)
+    elapsed = time.perf_counter() - t0
+    total = n_chunks * chunk
+    note = (f"elapsed={elapsed:.3f}s chunk={chunk} "
+            f"keyframes={len(slam.keyframes)} "
+            f"loop_edges={slam.num_loop_edges} "
+            f"ms_per_frame={1000 * elapsed / total:.2f} "
+            "(UPLOAD INCLUDED: raw u8/u16 chunks, double-buffered"
+            + (", loop closure ON)" if lc else ")"))
+    return total / elapsed, note
+
+
+def _bench_slam(args, cfg, K_t, frames, lc=False):
     """Full SLAM orchestration fps: dual alignment + entropy-ratio keyframe
-    decisions + (async) pose-graph upkeep, host loop included."""
+    decisions + (async) pose-graph upkeep, host loop included. lc=True
+    adds radius search + batched two-stage loop-closure validation."""
     from dvo_slam_tpu.config import SlamConfig
     from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
 
@@ -306,18 +402,22 @@ def _bench_slam(args, cfg, K_t, frames):
                 slam.force_keyframe()  # exercise switch + graph + local map
             slam.update(i, z, t_base + k / 30.0)
 
-    warm = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    warm = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
     warm.init()
-    run(warm, 2 * n_ring + 17, 0.0)
+    # Loop closure: candidate counts / solver buckets grow over the run —
+    # warm the full workload (see _bench_chunked).
+    run(warm, args.frames if lc else 2 * n_ring + 17, 0.0)
 
-    slam = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=False)
+    slam = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
     slam.init()
     t0 = time.perf_counter()
     run(slam, args.frames, 100.0)
     elapsed = time.perf_counter() - t0
     note = (f"elapsed={elapsed:.3f}s keyframes={len(slam.keyframes)} "
+            f"loop_edges={slam.num_loop_edges} "
             f"ms_per_frame={1000 * elapsed / args.frames:.2f} "
-            "(includes per-frame host round trips)")
+            "(includes per-frame host round trips"
+            + (", loop closure ON)" if lc else ")"))
     return args.frames / elapsed, note
 
 

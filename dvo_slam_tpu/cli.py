@@ -160,7 +160,12 @@ def main(argv=None):
     p = sub.add_parser("evaluate")
     p.add_argument("estimated", help="TUM-format trajectory file")
     p.add_argument("groundtruth", help="TUM-format groundtruth file")
-    p.add_argument("--rpe-delta", type=int, default=1)
+    p.add_argument("--rpe-delta", type=float, default=1)
+    p.add_argument("--rpe-seconds", action="store_true",
+                   help="TUM published protocol: --rpe-delta is SECONDS "
+                        "(evaluate_rpe.py --fixed_delta --delta_unit s; "
+                        "drift in m/s), closest-timestamp pairing, "
+                        "max 10000 sampled pairs")
 
     p = sub.add_parser(
         "optimize-graph",
@@ -217,9 +222,17 @@ def main(argv=None):
         e = [est[i][1] for i, _ in pairs]
         g = [gt[j][1] for _, j in pairs]
         ate = evaluate.ate_rmse(e, g)
-        rpe_t, rpe_r = evaluate.rpe(e, g, delta=args.rpe_delta)
+        if args.rpe_seconds:
+            ts = [est[i][0] for i, _ in pairs]
+            rpe_t, rpe_r = evaluate.rpe(
+                e, g, delta=args.rpe_delta, timestamps=ts, per_second=True
+            )
+            unit = "m_per_s"
+        else:
+            rpe_t, rpe_r = evaluate.rpe(e, g, delta=int(args.rpe_delta))
+            unit = "m"
         print(f"ate_rmse_m {ate:.6f}")
-        print(f"rpe_trans_m {rpe_t:.6f}")
+        print(f"rpe_trans_{unit} {rpe_t:.6f}")
         print(f"rpe_rot_deg {np.degrees(rpe_r):.6f}")
         return 0
 

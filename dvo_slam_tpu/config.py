@@ -122,6 +122,14 @@ class TrackerConfig:
     # unusually violent motion; margin 2 starts masking real points
     # (measured ATE degradation).
     pallas_margin: int = 3
+    # Self-defence against silent window masking: when more than this
+    # fraction of selected points is masked by the pallas row window at
+    # the finest level of a SLAM dual-alignment, the frame is re-tracked
+    # with the exact gather backend (dense_tracker.track_batched_
+    # escalating — used by the per-frame engine and the device scan).
+    # 0 disables. Escalation costs one gather re-track on the (rare)
+    # violent-motion frames only; the compiled program carries both paths.
+    pallas_miss_escalate: float = 0.02
     # MXU precision of the one-hot sampling matmul: "default" (single bf16
     # pass; sampling quantization ~2^-9 relative ~ Kinect depth noise at
     # 2 m, absorbed by the Sigma estimate) or "highest" (6-pass, exact to
@@ -196,9 +204,14 @@ class SlamConfig:
     # twist norm above this (plausible-accumulated-drift bound; generous
     # because the prediction itself carries the drift loop closure fixes).
     odometry_constraint_threshold: float = 1.0
-    # Batch size for the vmapped constraint validator (candidates are
-    # padded/chunked to this size).
+    # Batch sizing for the vmapped constraint validator: candidates are
+    # padded to the power-of-two bucket of their count, floored at
+    # validation_batch and split above validation_batch_max. Bigger
+    # batches amortize per-iteration kernel overheads (measured v5e:
+    # 6.4 / 3.9 / 3.0 ms per candidate at batch 8 / 16 / 32) at the cost
+    # of one compile per bucket size.
     validation_batch: int = 8
+    validation_batch_max: int = 32
 
     # Fuse the keyframe-relative estimate with the chained frame-to-frame
     # odometry estimate by information weighting (reference LocalMap

@@ -75,9 +75,18 @@ class ChunkedKeyframeSlam(KeyframeSlam):
     def update_chunk(self, intensities, depths,
                      timestamps: Sequence[float]) -> List[np.ndarray]:
         """Track a chunk of frames; returns one world pose (4,4) f64 per
-        frame. intensities/depths: (N, H, W); timestamps: length N."""
-        intensities = jnp.asarray(intensities, jnp.float32)
-        depths = jnp.asarray(depths, jnp.float32)
+        frame. intensities/depths: (N, H, W); timestamps: length N.
+
+        Raw sensor dtypes pass straight through to the device (uint8
+        intensity, uint16 raw depth — converted inside the scan by
+        build_pyramid): streaming callers should upload raw chunks, which
+        is 2.7x less transfer than the f32 pair."""
+        raw_i = getattr(intensities, "dtype", None) == np.uint8
+        raw_z = getattr(depths, "dtype", None) == np.uint16
+        intensities = jnp.asarray(
+            intensities, None if raw_i else jnp.float32
+        )
+        depths = jnp.asarray(depths, None if raw_z else jnp.float32)
         assert intensities.ndim == 3 and len(timestamps) == intensities.shape[0]
         out_poses: List[np.ndarray] = []
         start = 0
@@ -123,7 +132,8 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         )
         fetch = (outs["rel_pose"], outs["switch"], outs["Z_switch"],
                  outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
-                 outs["accept"], outs["valid_ratio"])
+                 outs["accept"], outs["valid_ratio"],
+                 outs["window_miss_frac"], outs["escalated"])
         lm_on = self.slam_cfg.local_map_optimize
         lm_extra = ()
         if lm_on or self.collect_covariance:
@@ -139,18 +149,27 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             # IterationStats granularity, as in the per-frame engine).
             stats_extra = (outs["iterations"], outs["stats"])
         fetch = fetch + stats_extra
+        # Piggyback pending results on the SAME transfer (separate fetches
+        # cost one full round trip each on remoted devices): the async
+        # graph solve's poses and the previous switch's in-flight
+        # loop-closure validation batches.
+        pend_val = self._pending_validation
+        if pend_val is not None:
+            fetch = fetch + (pend_val.handles,)
         if self._poses_stale:
-            # Piggyback the pending optimized poses on the SAME transfer:
-            # a separate _sync_poses at the first in-chunk switch would
-            # cost one more full round trip per chunk on remoted devices.
-            host = jax.device_get(fetch + (self._pending_poses,))
-            self._apply_poses(host[-1])
+            host = jax.device_get(
+                fetch + ((self._pending_poses, self._pending_weights),)
+            )
+            self._apply_poses(*host[-1])
             host = host[:-1]
         else:
             host = jax.device_get(fetch)
+        if pend_val is not None:
+            self._collect_pending_validation(host_results=host[-1])
+            host = host[:-1]
         (rel, switch, Zs, infos, entropies, ratios, accepts,
-         valid_ratios) = host[:8]
-        pos = 8
+         valid_ratios, wmiss_fracs, escalated) = host[:10]
+        pos = 10
         kf_meas = odo_meas = info_pair = nan_pair = None
         if lm_extra:
             kf_meas, odo_meas, info_pair, nan_pair = host[pos:pos + 4]
@@ -178,6 +197,8 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                     valid_ratio=float(valid_ratios[k]),
                     accepted=bool(accepts[k]),
                     keyframe_switch=bool(switch[k]),
+                    window_miss_frac=float(wmiss_fracs[k]),
+                    escalated=bool(escalated[k]),
                 )
                 if stats_b is not None:
                     stats_k = jax.tree.map(lambda a: a[k], stats_b)
@@ -193,37 +214,24 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             if bool(accepts[k]) and np.isfinite(h) and kf.entropy_first is None:
                 kf.entropy_first = h
             if bool(switch[k]):
-                # Replay of KeyframeSlam's switch branch: anchor the new
-                # keyframe on the (synced) optimized parent pose, edge into
-                # the graph, search loop closures, dispatch the solve.
-                self._sync_poses()
+                # Replay of KeyframeSlam's switch branch (shared
+                # _perform_switch: window solve + loop search + graph ops
+                # in one combined device round trip).
                 Z_new = np.asarray(Zs[k], np.float64)
                 info = np.asarray(infos[k], np.float64)
+                kf_meas_k = odo_meas_k = None
                 if lm_on:
-                    # LocalMap::optimize replay: the switching frame joins
-                    # as the final vertex; intermediate frame records are
-                    # refined in place (keyframe_tracker switch branch).
                     odo_nan_k = bool(nan_pair[k][1])
-                    before = len(self._local_map)
-                    self._local_map.add_frame(
-                        -1, Z_new,
+                    kf_meas_k = (
                         (np.asarray(kf_meas[k], np.float64),
                          np.asarray(info_pair[k][0], np.float64))
-                        if bool(accepts[k]) else None,
+                        if bool(accepts[k]) else None
+                    )
+                    odo_meas_k = (
                         None if odo_nan_k
                         else (np.asarray(odo_meas[k], np.float64),
-                              np.asarray(info_pair[k][1], np.float64)),
+                              np.asarray(info_pair[k][1], np.float64))
                     )
-                    if len(self._local_map) >= 2:
-                        refined = self._local_map.optimize(
-                            self.slam_cfg.local_map_iterations
-                        )
-                        for fi, T in zip(self._local_map.frame_indices,
-                                         refined):
-                            if fi >= 0:
-                                self.frames[fi].T_kf_frame = T
-                        if len(self._local_map) == before + 1:
-                            Z_new = refined[-1]
                 if k == last_switch:
                     pyr = self._carry["kf"]
                 else:
@@ -231,14 +239,8 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                         intensities, depths, start + k,
                         self.tracker_cfg.num_levels,
                     )
-                T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
-                self._add_keyframe(pyr, t, T_w_new, kf.idx, (Z_new, info))
-                new_kf = self.keyframes[-1]
-                if self.enable_loop_closure:
-                    self._search_loop_closures(new_kf)
-                self._optimize(self.slam_cfg.optimization_iterations)
-                self._local_map = local_map.LocalMap(
-                    self.slam_cfg.local_map_capacity
+                new_kf = self._perform_switch(
+                    pyr, t, Z_new, info, kf_meas_k, odo_meas_k
                 )
                 self.frames.append(FrameRecord(t, new_kf.idx, np.eye(4)))
                 if self.collect_covariance:

@@ -62,17 +62,6 @@ def propose_candidates(positions, new_idx, slam_cfg: SlamConfig) -> List[int]:
     return out
 
 
-def _pad_batch(pyrs, T_inits, batch):
-    """Stack candidate pyramids to a fixed batch (pad by repeating row 0)."""
-    n = len(pyrs)
-    idx = list(range(n)) + [0] * (batch - n)
-    stacked = tuple(
-        jnp.stack([pyrs[i][lvl] for i in idx]) for lvl in range(len(pyrs[0]))
-    )
-    T = jnp.stack([jnp.asarray(T_inits[i], jnp.float32) for i in idx])
-    return stacked, T
-
-
 def _odometry_vote(T_measured, T_init, slam_cfg: SlamConfig) -> bool:
     """OdometryConstraintVoter: a validated constraint must not wildly
     contradict the current graph estimate it was seeded from. The initial
@@ -100,7 +89,7 @@ def _entropy_ratio(entropy, denominator):
 
 
 @functools.partial(jax.jit, static_argnames=("coarse_cfg", "fine_cfg"))
-def _validate_batch_jit(refs, new_pyramid, Ks, Tf, Tb,
+def _validate_batch_jit(refs_list, new_pyramid, Ks, Tf, Tb,
                         coarse_cfg: TrackerConfig, fine_cfg: TrackerConfig):
     """The WHOLE two-stage validation of one padded candidate batch as ONE
     dispatch: coarse forward + coarse backward + fine re-track (seeded by
@@ -114,6 +103,12 @@ def _validate_batch_jit(refs, new_pyramid, Ks, Tf, Tb,
     the host, so the accepted set is unchanged.
     """
     B = Tf.shape[0]
+    # Stack the candidate pyramids IN-PROGRAM: eager per-level stacks cost
+    # a dispatch each (4 per batch) on the host side of a remoted device.
+    refs = tuple(
+        jnp.stack([p[lvl] for p in refs_list])
+        for lvl in range(len(refs_list[0]))
+    )
     curs = tuple(
         jnp.broadcast_to(lvl, (B,) + lvl.shape) for lvl in new_pyramid
     )
@@ -137,6 +132,13 @@ def _validate_batch_jit(refs, new_pyramid, Ks, Tf, Tb,
         "fine_T": fine.transformation, "fine_nan": fine.is_nan(),
         "fine_H": fine.entropy, "fine_vr": fine.valid_ratio,
         "fine_info": fine.information,
+        # Pallas-window loss of the fine measurement (0 on gather): a
+        # candidate whose fine re-track silently lost points to the row
+        # window is rejected by the host voter rather than re-tracked
+        # (validation batches would pay a whole-batch gather rerun under
+        # an escalating cond; rejection is the conservative choice for
+        # loop closures — a missed edge costs drift, a bad one the map).
+        "fine_wmiss": fine.window_miss_frac,
     }
 
 
@@ -165,17 +167,30 @@ def dispatch_validation(
     """Dispatch every validation batch WITHOUT fetching results."""
     if not candidates:
         return None
-    B = slam_cfg.validation_batch
+    from dvo_slam_tpu.models.pose_graph import bucket
+
+    # Power-of-two bucketed batch: one dispatch for up to
+    # validation_batch_max candidates (bigger batches amortize the
+    # per-IRLS-iteration kernel overheads ~2x; config.py numbers), split
+    # beyond the cap.
+    B_max = max(slam_cfg.validation_batch_max, slam_cfg.validation_batch)
     chunks, handles = [], []
-    for start in range(0, len(candidates), B):
-        chunk = candidates[start : start + B]
-        pyrs = [keyframe_pyramids[c.keyframe_idx] for c in chunk]
-        refs, Tf = _pad_batch(pyrs, [c.T_init for c in chunk], B)
-        _, Tb = _pad_batch(
-            pyrs, [se3_np.inverse(c.T_init) for c in chunk], B
+    for start in range(0, len(candidates), B_max):
+        chunk = candidates[start : start + B_max]
+        B = min(bucket(len(chunk), slam_cfg.validation_batch), B_max)
+        idx = list(range(len(chunk))) + [0] * (B - len(chunk))
+        refs_list = tuple(
+            keyframe_pyramids[chunk[i].keyframe_idx] for i in idx
+        )
+        Tf = jnp.asarray(
+            np.stack([chunk[i].T_init for i in idx]), jnp.float32
+        )
+        Tb = jnp.asarray(
+            np.stack([se3_np.inverse(chunk[i].T_init) for i in idx]),
+            jnp.float32,
         )
         handles.append(
-            _validate_batch_jit(refs, new_pyramid, Ks, Tf, Tb,
+            _validate_batch_jit(refs_list, new_pyramid, Ks, Tf, Tb,
                                 coarse_cfg, fine_cfg)
         )
         chunks.append(chunk)
@@ -192,9 +207,22 @@ def collect_validation(
     the synchronous pipeline (history up to the proposing switch)."""
     if pending is None:
         return []
-    host = jax.device_get(pending.handles)
+    return vote_validation(
+        pending.chunks, jax.device_get(pending.handles),
+        keyframe_entropies, slam_cfg,
+    )
+
+
+def vote_validation(
+    chunks: List[List[ConstraintCandidate]],
+    host_results: List[dict],
+    keyframe_entropies,
+    slam_cfg: SlamConfig,
+) -> List[AcceptedConstraint]:
+    """Voter logic on ALREADY-FETCHED batch results (callers that combine
+    the validation fetch with other per-switch transfers)."""
     accepted: List[AcceptedConstraint] = []
-    for chunk, r in zip(pending.chunks, host):
+    for chunk, r in zip(chunks, host_results):
         for k, c in enumerate(chunk):
             # --- stage 1 voters (coarse results) ---
             if bool(r["fwd_nan"][k]) or bool(r["bwd_nan"][k]):
@@ -219,6 +247,8 @@ def collect_validation(
             # --- stage 2 voters (fine re-track seeded by the coarse pose) ---
             if bool(r["fine_nan"][k]):
                 continue
+            if float(r["fine_wmiss"][k]) > 0.02:
+                continue  # window-masked fine measurement: reject, not trust
             ratio = _entropy_ratio(
                 float(r["fine_H"][k]), keyframe_entropies[c.keyframe_idx]
             )

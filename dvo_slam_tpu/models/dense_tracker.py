@@ -65,6 +65,10 @@ class TrackStats(NamedTuple):
     delta_norm: jnp.ndarray  # ||delta_xi|| of each solved increment
     accepted: jnp.ndarray  # bool: evaluation accepted (vs rolled back)
     termination: jnp.ndarray  # (num_tracked_levels,) int32 TERM_* codes
+    # Points masked ONLY by the pallas sampler's row window at each
+    # evaluation (0 on the gather path) — distinct from genuine
+    # invalidity; the kernel's silent-accuracy failure mode made loud.
+    window_miss: jnp.ndarray = None
 
 
 class TrackResult(NamedTuple):
@@ -81,6 +85,12 @@ class TrackResult(NamedTuple):
     iterations: jnp.ndarray  # (num_tracked_levels,) int32
     level_errors: jnp.ndarray  # (num_tracked_levels,)
     stats: Optional[TrackStats] = None  # cfg.collect_stats
+    # Fraction of selected points window-masked at the finest level's
+    # accepted linearization (pallas sampler only; 0 on gather) and
+    # whether an orchestrator escalated this result to the gather backend
+    # (track_batched_escalating).
+    window_miss_frac: jnp.ndarray = jnp.float32(0.0)
+    escalated: jnp.ndarray = jnp.asarray(False)
 
     def is_nan(self):
         """Reference Result::isNaN — NaN guard used by acceptance voters.
@@ -169,6 +179,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
         sigma_best = jnp.where(accept, lin.sigma, carry["sigma_best"])
         n_valid_best = jnp.where(accept, lin.n_raw, carry["n_valid_best"])
         log1p_best = jnp.where(accept, lin.log1p_sum, carry["log1p_best"])
+        wmiss_best = jnp.where(accept, lin.n_window_miss, carry["wmiss_best"])
 
         if use_lm:
             lam = jnp.where(
@@ -210,6 +221,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             "sigma_best": sigma_best,
             "n_valid_best": n_valid_best,
             "log1p_best": log1p_best,
+            "wmiss_best": wmiss_best,
             "lam": lam,
             "k": k,
             "done": done,
@@ -220,6 +232,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             out["it_error"] = carry["it_error"].at[i].set(lin.err_mean)
             out["it_delta"] = carry["it_delta"].at[i].set(delta_norm)
             out["it_accept"] = carry["it_accept"].at[i].set(accept)
+            out["it_wmiss"] = carry["it_wmiss"].at[i].set(lin.n_window_miss)
             # First matching reason wins (priority mirrors the checks above).
             out["term"] = jnp.where(
                 rejected_stop,
@@ -245,6 +258,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
         "sigma_best": jnp.eye(2, dtype=dtype),
         "n_valid_best": jnp.asarray(0.0, dtype),
         "log1p_best": jnp.asarray(0.0, dtype),
+        "wmiss_best": jnp.asarray(0.0, dtype),
         "lam": jnp.asarray(cfg.lm_lambda_init if use_lm else 0.0, dtype),
         "k": jnp.asarray(0, jnp.int32),
         "done": jnp.asarray(False, bool),
@@ -254,19 +268,21 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
         init["it_error"] = jnp.zeros(cfg.max_iterations, dtype)
         init["it_delta"] = jnp.zeros(cfg.max_iterations, dtype)
         init["it_accept"] = jnp.zeros(cfg.max_iterations, bool)
+        init["it_wmiss"] = jnp.zeros(cfg.max_iterations, dtype)
         init["term"] = jnp.asarray(TERM_ITERATIONS, jnp.int32)
     out = jax.lax.while_loop(cond, body, init)
     stats = {"iterations": out["k"], "error": out["err_best"]}
     if cfg.collect_stats:
         stats["per_iter"] = (
             out["it_valid"], out["it_error"], out["it_delta"],
-            out["it_accept"], out["term"],
+            out["it_accept"], out["term"], out["it_wmiss"],
         )
     final = lin_ops.Linearization(
         A=out["A_best"], b=out["b_best"], err_mean=out["err_best"],
         n_valid=jnp.maximum(out["n_valid_best"], 1.0),
         n_raw=out["n_valid_best"], sigma=out["sigma_best"],
         log1p_sum=out["log1p_best"], err_raw=out["err_best"],
+        n_window_miss=out["wmiss_best"],
     )
     return out["T_best"], final, stats
 
@@ -356,6 +372,7 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
             delta_norm=jnp.stack([p[2] for p in per_iter]),
             accepted=jnp.stack([p[3] for p in per_iter]),
             termination=jnp.stack([p[4] for p in per_iter]),
+            window_miss=jnp.stack([p[5] for p in per_iter]),
         )
 
     return TrackResult(
@@ -370,6 +387,8 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
         iterations=jnp.stack(iters),
         level_errors=jnp.stack(errs),
         stats=track_stats,
+        window_miss_frac=fin.n_window_miss / jnp.maximum(n_selected, 1.0),
+        escalated=jnp.asarray(False),
     )
 
 
@@ -399,3 +418,31 @@ def track_pairs_batched(ref_pyrs, cur_pyrs, Ks, T_inits, cfg: TrackerConfig) -> 
     """Fully batched: B reference pyramids against B current pyramids."""
     fn = lambda ref, cur, T0: track(ref, cur, Ks, T0, cfg)
     return jax.vmap(fn)(ref_pyrs, cur_pyrs, T_inits)
+
+
+def track_batched_escalating(ref_pyrs, cur_pyr, Ks, T_inits,
+                             cfg: TrackerConfig) -> TrackResult:
+    """Batched tracking with pallas-window self-defence (traced; callers
+    jit). If any row of the batch lost more than cfg.pallas_miss_escalate
+    of its selected points to the sampler's row window at the finest
+    level, the WHOLE batch is re-tracked with the exact gather backend
+    (lax.cond around the vmap, so the predicate stays scalar and only one
+    branch executes at runtime — an in-vmap cond would lower to a select
+    that always pays both). The SSE reference has no such failure mode;
+    this keeps violent-motion frames from silently losing accuracy while
+    the pallas fast path handles the normal regime."""
+    fn = lambda ref, T0: track(ref, cur_pyr, Ks, T0, cfg)
+    res = jax.vmap(fn)(ref_pyrs, T_inits)
+    if cfg.sampler_backend != "pallas" or cfg.pallas_miss_escalate <= 0:
+        return res
+    import dataclasses
+
+    gcfg = dataclasses.replace(cfg, sampler_backend="gather")
+    gfn = lambda ref, T0: track(ref, cur_pyr, Ks, T0, gcfg)
+
+    def rerun(_):
+        r = jax.vmap(gfn)(ref_pyrs, T_inits)
+        return r._replace(escalated=jnp.ones_like(r.escalated))
+
+    esc = res.window_miss_frac.max() > cfg.pallas_miss_escalate
+    return jax.lax.cond(esc, rerun, lambda _: res, None)

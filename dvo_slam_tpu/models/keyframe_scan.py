@@ -108,9 +108,10 @@ def _make_step(Ks, cfg: TrackerConfig, scan_cfg: ScanConfig):
         )
         odo_init = carry["last_odo"] if cfg.use_initial_estimate else eye
         inits = jnp.stack([carry["T_kf_prev"], odo_init])
-        res = jax.vmap(
-            lambda r, t0: dense_tracker.track(r, cur, Ks, t0, cfg)
-        )(refs, inits)
+        # Escalates to the gather backend when the pallas window masked
+        # too many points (cfg.pallas_miss_escalate; the cond sits outside
+        # the batch vmap so the fast path pays nothing at runtime).
+        res = dense_tracker.track_batched_escalating(refs, cur, Ks, inits, cfg)
 
         r_kf_T = res.transformation[0]
         r_odo_T = res.transformation[1]
@@ -179,6 +180,9 @@ def _make_step(Ks, cfg: TrackerConfig, scan_cfg: ScanConfig):
             "accept": accept,
             "iterations": res.iterations,
             "is_nan": jnp.stack([kf_nan, odo_nan]),
+            # Pallas-window observability (0 / False on gather).
+            "window_miss_frac": res.window_miss_frac.max(),
+            "escalated": res.escalated.any(),
             # Raw (pre-fusion) dual measurements + informations: the
             # chunked walk replays the windowed LocalMap solve from these
             # (keyframe->frame and prev->frame edges, keyframe_tracker

@@ -89,8 +89,10 @@ def _slam_frame_step(intensity, depth, kf_pyr, prev_pyr, inits, Ks,
         jnp.stack([kf_lvl, prev_lvl])
         for kf_lvl, prev_lvl in zip(kf_pyr, prev_pyr)
     )
-    track = lambda ref, T0: dense_tracker.track(ref, pyr, Ks, T0, cfg)
-    res = jax.vmap(track)(refs, inits)
+    # Escalating form: re-tracks with the gather backend when the pallas
+    # window masked too many points (violent motion) — no silent accuracy
+    # loss (cfg.pallas_miss_escalate).
+    res = dense_tracker.track_batched_escalating(refs, pyr, Ks, inits, cfg)
     return pyr, res
 
 
@@ -176,6 +178,7 @@ class KeyframeSlam:
             pose_graph.empty_graph(slam_cfg.max_keyframes, slam_cfg.max_edges)
         )
         self._pending_poses = None  # device handle of the in-flight solve
+        self._pending_weights = None  # its per-edge robust weights
         self.kf_poses: List[np.ndarray] = []  # world <- keyframe, f64 host mirror
         self.keyframes: List[Keyframe] = []
         self.frames: List[FrameRecord] = []
@@ -192,6 +195,14 @@ class KeyframeSlam:
         # poses have not been mirrored to kf_poses yet.
         self._poses_stale = False
         self._pose_fetches = 0  # observability / tests
+
+        # In-flight loop-closure validation (reference: constraint
+        # validation runs on the background graph thread and its edges
+        # land whenever the worker finishes — here the batched dispatch is
+        # the worker, and results are collected at the next existing
+        # device->host transfer or, at the latest, at the next switch /
+        # finish / reset / checkpoint).
+        self._pending_validation = None
 
         # Windowed local map for the active keyframe (reference LocalMap).
         self._local_map = local_map.LocalMap(slam_cfg.local_map_capacity)
@@ -216,6 +227,7 @@ class KeyframeSlam:
         a fresh keyframe anchored at T0 (current estimate if None), with no
         odometry edge linking it to the previous keyframe.
         """
+        self._collect_pending_validation()
         self._sync_poses()
         if T0 is not None:
             self._reset_pose = np.asarray(T0, np.float64)
@@ -260,20 +272,32 @@ class KeyframeSlam:
             [jnp.asarray(self._T_kf_prev, jnp.float32),
              jnp.asarray(odo_init, jnp.float32)]
         )
+        raw_i = getattr(intensity, "dtype", None) == np.uint8
+        raw_z = getattr(depth, "dtype", None) == np.uint16
         pyr, res = _slam_frame_step(
-            jnp.asarray(intensity, jnp.float32), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(intensity, None if raw_i else jnp.float32),
+            jnp.asarray(depth, None if raw_z else jnp.float32),
             kf.pyramid, self._prev_pyr, inits, self.Ks, self.tracker_cfg,
         )
         # ONE device->host transfer for everything this frame needs: each
         # separate scalar read pays a full dispatch round trip (hundreds of
         # ms over remoted devices), which would dwarf the tracking itself.
         fetch = (res.transformation, res.is_nan(), res.entropy,
-                 res.valid_ratio, res.information)
+                 res.valid_ratio, res.information,
+                 res.window_miss_frac, res.escalated)
         extra = ()
         if self.frame_logger is not None and res.stats is not None:
             extra = (res.iterations, res.stats)
-        host = jax.device_get(fetch + extra)
-        transforms, nans, entropies, valid_ratios, informations = host[:5]
+        # Piggyback the previous switch's in-flight validation results on
+        # this frame's transfer (a separate fetch costs a full round trip).
+        pend = self._pending_validation
+        pv = (pend.handles,) if pend is not None else ()
+        host = jax.device_get(fetch + extra + pv)
+        if pend is not None:
+            self._collect_pending_validation(host_results=host[-1])
+            host = host[:-1]
+        (transforms, nans, entropies, valid_ratios, informations,
+         wmiss_fracs, escalated) = host[:7]
         r_kf_T = np.asarray(transforms[0], np.float64)
         r_odo_T = np.asarray(transforms[1], np.float64)
         kf_nan = bool(nans[0])
@@ -306,9 +330,11 @@ class KeyframeSlam:
                 entropy=kf_entropy, entropy_ratio=ratio,
                 valid_ratio=kf_valid_ratio, accepted=accept,
                 keyframe_switch=bool(switch),
+                window_miss_frac=float(np.max(wmiss_fracs)),
+                escalated=bool(np.any(escalated)),
             )
             if extra:
-                iters_b, stats_b = host[5], host[6]
+                iters_b, stats_b = host[7], host[8]
                 rec["kf_track"] = _stats_record(stats_b, iters_b, 0)
                 rec["odo_track"] = _stats_record(stats_b, iters_b, 1)
             self.frame_logger.log(**rec)
@@ -366,41 +392,17 @@ class KeyframeSlam:
             Z_new = self._T_kf_prev
             info = np.eye(6) * 1e2
 
-        # --- LocalMap::optimize: jointly refine the closing window ---
-        # The switching frame joins as the final vertex (its refined pose
-        # becomes the odometry-edge measurement anchoring the new
-        # keyframe); intermediate frame records are rewritten in place.
-        if self.slam_cfg.local_map_optimize:
-            before = len(self._local_map)
-            self._local_map.add_frame(
-                -1,  # sentinel: no frame record — this IS the new keyframe
-                Z_new,
-                (r_kf_T, np.asarray(informations[0], np.float64))
-                if accept else None,
-                None if odo_nan
-                else (r_odo_T, np.asarray(informations[1], np.float64)),
-            )
-            if len(self._local_map) >= 2:
-                refined = self._local_map.optimize(
-                    self.slam_cfg.local_map_iterations
-                )
-                for fi, T in zip(self._local_map.frame_indices, refined):
-                    if fi >= 0:
-                        self.frames[fi].T_kf_frame = T
-                if len(self._local_map) == before + 1:  # switch frame added
-                    Z_new = refined[-1]
-
-        T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
-        self._add_keyframe(pyr, timestamp, T_w_new, kf.idx, (Z_new, info))
-        new_kf = self.keyframes[-1]
-
-        if self.enable_loop_closure:
-            self._search_loop_closures(new_kf)
-        self._optimize(self.slam_cfg.optimization_iterations)
+        # --- window solve + loop search + graph ops: one round trip ---
+        new_kf = self._perform_switch(
+            pyr, timestamp, Z_new, info,
+            (r_kf_T, np.asarray(informations[0], np.float64))
+            if accept else None,
+            None if odo_nan
+            else (r_odo_T, np.asarray(informations[1], np.float64)),
+        )
 
         self._prev_pyr = pyr
         self._T_kf_prev = np.eye(4)
-        self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         self.frames.append(FrameRecord(timestamp, new_kf.idx, np.eye(4)))
         if self.collect_covariance:
             # Same measurement-selection chain as the Z_new fallback.
@@ -411,6 +413,8 @@ class KeyframeSlam:
         """Final optimization + full-trajectory interpolation (reference
         KeyframeGraph::finalOptimization + pose composition, SURVEY.md §3.4).
         """
+        # Land any in-flight loop-closure edges before the final solve.
+        self._collect_pending_validation()
         # Flush the trailing (never-switched) window through the local-map
         # solve so its frame records are refined too.
         if self.slam_cfg.local_map_optimize and len(self._local_map) >= 2:
@@ -438,6 +442,7 @@ class KeyframeSlam:
         reference backend's interchange format (g2o_viewer etc.)."""
         from dvo_slam_tpu.utils import g2o_io
 
+        self._collect_pending_validation()
         self._sync_poses()
         g2o_io.save_g2o(path, self.graph)
 
@@ -446,9 +451,13 @@ class KeyframeSlam:
     # ------------------------------------------------------------------
 
     def _build_pyramid(self, intensity, depth):
+        # Raw sensor dtypes (uint8 intensity / uint16 depth) pass through;
+        # build_pyramid converts on device (streaming uploads stay raw).
+        raw_i = getattr(intensity, "dtype", None) == np.uint8
+        raw_z = getattr(depth, "dtype", None) == np.uint16
         return _build_pyramid_jit(
-            jnp.asarray(intensity, jnp.float32),
-            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(intensity, None if raw_i else jnp.float32),
+            jnp.asarray(depth, None if raw_z else jnp.float32),
             self.tracker_cfg.num_levels,
         )
 
@@ -508,37 +517,131 @@ class KeyframeSlam:
             num_edges=np.asarray(e + 1, np.int32),
         )
 
-    def _search_loop_closures(self, new_kf: Keyframe):
+    def _perform_switch(self, pyr, timestamp: float, Z_new: np.ndarray,
+                        info: np.ndarray, kf_measurement, odo_measurement
+                        ) -> Keyframe:
+        """Complete a keyframe switch with ONE device round trip.
+
+        The reference hands the finished LocalMap to the background graph
+        thread (dvo_slam/src/keyframe_graph.cpp) — window solve, candidate
+        validation and the interleaved g2o optimize all run off the
+        tracking thread. Here the same work is one combined async batch:
+        the window solve AND every loop-closure validation batch are
+        dispatched back to back, the chip processes them while the host
+        does bookkeeping, and their results ride a single device->host
+        transfer (each separate fetch costs a full tunnel round trip,
+        ~30 ms measured — docs/performance.md).
+
+        Args:
+          pyr: the switching frame's pyramid (becomes the new keyframe).
+          Z_new / info: old-kf -> new-kf measurement after the acceptance
+            fallback chain (UNREFINED; the window solve refines it here).
+          kf_measurement / odo_measurement: optional (T, info) dual
+            measurements of the switching frame for the window's final
+            vertex.
+
+        Loop-closure proposals are seeded from the PREDICTED anchor pose
+        (pre-refinement): the window refinement moves the anchor by
+        microns while the seeds' job is only to start the coarse tracker
+        inside its convergence basin (and the odometry voter's threshold
+        is ~1 rad/m). This is what lets validation dispatch before the
+        refinement is fetched.
+        """
+        # Edges from the PREVIOUS switch's validation must be in the graph
+        # before this switch's interleaved solve (normally a no-op: the
+        # piggybacked collect at the next frame/chunk fetch already ran).
+        self._collect_pending_validation()
         self._sync_poses()
-        positions = np.stack([T[:3, 3] for T in self.kf_poses])
-        cand_idx = constraints.propose_candidates(positions, new_kf.idx, self.slam_cfg)
-        if not cand_idx:
+        kf = self.keyframes[-1]
+        lm_handle = None
+        lm_before = len(self._local_map)
+        if self.slam_cfg.local_map_optimize:
+            # The switching frame joins as the final vertex; its refined
+            # pose becomes the odometry-edge measurement anchoring the new
+            # keyframe (reference LocalMap::optimize on MapComplete).
+            self._local_map.add_frame(-1, Z_new, kf_measurement,
+                                      odo_measurement)
+            if len(self._local_map) >= 2:
+                lm_handle = self._local_map.optimize_async(
+                    self.slam_cfg.local_map_iterations
+                )
+
+        if self.enable_loop_closure:
+            T_w_pred = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
+            # Dispatched NOW, collected at the next existing transfer: the
+            # switch's blocking fetch below only waits for the (tiny)
+            # window solve while the chip grinds the validation batches
+            # under the following frames' tracking.
+            self._pending_validation = self._dispatch_loop_search(
+                T_w_pred, pyr
+            )
+
+        if lm_handle is not None:
+            refined = self._local_map.refined_from(np.asarray(lm_handle))
+            for fi, T in zip(self._local_map.frame_indices, refined):
+                if fi >= 0:
+                    self.frames[fi].T_kf_frame = T
+            if len(self._local_map) == lm_before + 1:  # switch frame added
+                Z_new = refined[-1]
+
+        T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
+        self._add_keyframe(pyr, timestamp, T_w_new, kf.idx, (Z_new, info))
+        new_kf = self.keyframes[-1]
+
+        self._optimize(self.slam_cfg.optimization_iterations)
+        self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
+        return new_kf
+
+    def _collect_pending_validation(self, host_results=None):
+        """Insert the edges of the in-flight validation (if any). With
+        host_results the caller already fetched the batch outputs
+        (piggybacked on another transfer); otherwise fetch here."""
+        pending = self._pending_validation
+        if pending is None:
             return
+        self._pending_validation = None
+        if host_results is None:
+            host_results = jax.device_get(pending.handles)
+        accepted = constraints.vote_validation(
+            pending.chunks, host_results,
+            [k.entropy_avg for k in self.keyframes], self.slam_cfg,
+        )
+        for a in accepted:
+            self._add_edge(a.keyframe_idx, a.new_idx, a.measurement,
+                           a.information)
+        self.num_loop_edges += len(accepted)
+
+    def _dispatch_loop_search(self, T_w_new: np.ndarray, new_pyramid):
+        """Radius candidate search + validation DISPATCH (no fetch) for a
+        keyframe about to be inserted at index len(self.keyframes)."""
+        new_idx = len(self.keyframes)
+        positions = np.stack(
+            [T[:3, 3] for T in self.kf_poses] + [T_w_new[:3, 3]]
+        )
+        cand_idx = constraints.propose_candidates(
+            positions, new_idx, self.slam_cfg
+        )
+        if not cand_idx:
+            return None
         cands = []
-        T_w_new = self.kf_poses[new_kf.idx]
         for k in cand_idx:
-            T_init = se3_np.inverse(T_w_new) @ self.kf_poses[k]  # new<-cand... see below
             # Tracker wants T: cand-cam -> new-cam (p_new = T p_cand):
             # T = inv(T_w_new) @ T_w_cand.
+            T_init = se3_np.inverse(T_w_new) @ self.kf_poses[k]
             cands.append(
                 constraints.ConstraintCandidate(
-                    keyframe_idx=k, new_idx=new_kf.idx, T_init=T_init
+                    keyframe_idx=k, new_idx=new_idx, T_init=T_init
                 )
             )
-        entropies = [kf.entropy_avg for kf in self.keyframes]
-        accepted = constraints.validate_candidates(
+        return constraints.dispatch_validation(
             cands,
             [kf.pyramid for kf in self.keyframes],
-            entropies,
-            new_kf.pyramid,
+            new_pyramid,
             self.Ks,
             self.coarse_cfg,
             self.fine_cfg,
             self.slam_cfg,
         )
-        for a in accepted:
-            self._add_edge(a.keyframe_idx, a.new_idx, a.measurement, a.information)
-        self.num_loop_edges += len(accepted)
 
     def _optimize(self, iterations: int):
         """Dispatch the device LM solve WITHOUT fetching its outputs.
@@ -554,7 +657,7 @@ class KeyframeSlam:
         # the normal flow: the orchestrator syncs at every switch before
         # adding, and adds precede this dispatch).
         self._sync_poses()
-        g_opt, chi2, _ = pose_graph.optimize(
+        g_opt, chi2, weights = pose_graph.optimize(
             self._solve_view(),
             iterations=iterations,
             use_robust=self.slam_cfg.use_robust_kernel,
@@ -565,6 +668,12 @@ class KeyframeSlam:
             gnc_init=16.0,
         )
         self._pending_poses = g_opt.poses  # device; fetched lazily
+        # Per-edge robust weights ride the same lazy fetch: per-insertion
+        # outlier pruning (reference OptimizationRemoveOutliers) masks
+        # collapsed loop edges when the solve is consumed.
+        self._pending_weights = (
+            weights if self.slam_cfg.remove_outliers else None
+        )
         self._poses_stale = True
 
     def _solve_view(self) -> pose_graph.PoseGraph:
@@ -583,12 +692,16 @@ class KeyframeSlam:
         """Blocking fetch of the device-optimized poses into kf_poses."""
         if not self._poses_stale:
             return
-        self._apply_poses(np.asarray(self._pending_poses, np.float64))
+        poses, weights = jax.device_get(
+            (self._pending_poses, self._pending_weights)
+        )
+        self._apply_poses(poses, weights)
 
-    def _apply_poses(self, poses: np.ndarray):
+    def _apply_poses(self, poses: np.ndarray, weights=None):
         """Mirror already-fetched optimized poses into kf_poses and the
         host graph (callers that piggyback the pose fetch onto another
-        transfer)."""
+        transfer). `weights` (per-edge robust weights of the consumed
+        solve, same fetch) triggers per-insertion outlier pruning."""
         poses = np.asarray(poses, np.float64)
         n = min(len(poses), self.graph.poses.shape[0])
         self.graph.poses[:n] = poses[:n].astype(np.float32)
@@ -596,11 +709,39 @@ class KeyframeSlam:
             self.kf_poses[k] = se3_np.renormalize(poses[k])
         self._poses_stale = False
         self._pending_poses = None
+        self._pending_weights = None
         self._pose_fetches += 1
+        if weights is not None and self.slam_cfg.remove_outliers:
+            # Reference interleaved pruning (SURVEY.md §3.4 "optional
+            # outlier-edge pruning ... re-optimize"): a validated-but-bad
+            # edge whose robust weight collapsed in the consumed solve is
+            # masked NOW, and one re-solve is dispatched so it stops
+            # poisoning every interleaved solve until finish().
+            if self._mask_outlier_edges(np.asarray(weights)):
+                self._optimize(self.slam_cfg.optimization_iterations)
+
+    def _mask_outlier_edges(self, w: np.ndarray) -> int:
+        """Mask non-consecutive (loop) edges with collapsed robust weight
+        (reference OptimizationRemoveOutliers + OutlierWeightThreshold).
+        Returns the number of edges dropped."""
+        mask = self.graph.edge_mask  # host array: edit in place
+        ei = self.graph.edge_i
+        ej = self.graph.edge_j
+        dropped = 0
+        # Edges inserted AFTER the solve was dispatched have no weight in
+        # this (cropped) result — they are judged by the next solve.
+        for e in range(min(int(self.graph.num_edges), len(w))):
+            consecutive = abs(int(ej[e]) - int(ei[e])) == 1
+            if (mask[e] and not consecutive
+                    and w[e] < self.slam_cfg.outlier_weight_threshold):
+                mask[e] = False
+                dropped += 1
+        return dropped
 
     def _prune_outlier_edges(self):
-        """Drop loop edges whose robust weight collapsed (reference
-        OptimizationRemoveOutliers + OutlierWeightThreshold)."""
+        """Final-pass pruning before finish()'s long solve (reference
+        OptimizationRemoveOutliers; the per-insertion path in _apply_poses
+        usually got there first)."""
         self._sync_poses()  # weights must reflect the latest solve
         _, _, weights = pose_graph.optimize(
             self._solve_view(),
@@ -608,14 +749,7 @@ class KeyframeSlam:
             use_robust=self.slam_cfg.use_robust_kernel,
             cauchy_c=self.slam_cfg.cauchy_c,
         )
-        w = np.asarray(weights)
-        mask = self.graph.edge_mask  # host array: edit in place
-        ei = self.graph.edge_i
-        ej = self.graph.edge_j
-        for e in range(int(self.graph.num_edges)):
-            consecutive = abs(int(ej[e]) - int(ei[e])) == 1
-            if mask[e] and not consecutive and w[e] < self.slam_cfg.outlier_weight_threshold:
-                mask[e] = False
+        self._mask_outlier_edges(np.asarray(weights))
 
 
 def _stats_record(stats, iterations, b):

@@ -82,10 +82,23 @@ class LocalMap:
         frame, in insertion order. Falls back to the fused estimates when
         the window is trivial (a single frame's fusion is already the
         exact two-measurement solution).
+
+        Synchronous form of optimize_async + refined_from: orchestrators
+        that also dispatch loop-closure validation at a keyframe switch
+        use the split form so BOTH results ride one device->host transfer.
         """
+        handle = self.optimize_async(iterations)
+        if handle is None:
+            return list(self.estimates)
+        return self.refined_from(np.asarray(handle))
+
+    def optimize_async(self, iterations: int = 10):
+        """Dispatch the window solve WITHOUT fetching; returns the device
+        poses handle (or None when the window is trivial). Pass the fetched
+        array to refined_from."""
         n = len(self.frame_indices)
         if n < 2:
-            return list(self.estimates)
+            return None
 
         # Assemble the padded window graph entirely on HOST: the jitted
         # solve uploads it in one transfer — eager .at[].set assembly costs
@@ -145,9 +158,14 @@ class LocalMap:
         solved, _, _ = pose_graph.optimize(
             graph, iterations=iterations, use_robust=False
         )
-        refined = np.asarray(solved.poses, np.float64)
+        return solved.poses
+
+    def refined_from(self, host_poses: np.ndarray) -> List[np.ndarray]:
+        """Turn the fetched solve output into refined T_kf_frame poses (in
+        insertion order), falling back per frame on non-finite rows."""
+        refined = np.asarray(host_poses, np.float64)
         out = []
-        for i in range(n):
+        for i in range(len(self.frame_indices)):
             T_w_frame = refined[i + 1]
             if not np.isfinite(T_w_frame).all():
                 out.append(self.estimates[i])

@@ -54,6 +54,10 @@ class Linearization(NamedTuple):
     sigma: jnp.ndarray  # (2, 2)
     log1p_sum: jnp.ndarray  # sum over valid of log1p(maha/dof) (for loglik)
     err_raw: jnp.ndarray  # sum of w * maha (diagnostics)
+    # Selected in-bounds points masked ONLY by the pallas sampler's row
+    # window (0 on the gather path) — the kernel's silent failure mode,
+    # surfaced so trackers can detect/escalate (TrackStats.window_miss).
+    n_window_miss: jnp.ndarray = jnp.float32(0.0)
 
 
 def prepare_reference(ref_slab, K, cfg: TrackerConfig, row_offset=0) -> RefData:
@@ -170,7 +174,7 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
             if H % d == 0 and (d * W) % 128 == 0
         ]
         rpt = max(candidates) if candidates else H
-        smp_cm, inb = pallas_sampler.sample_slab(
+        smp_cm, inb, win_miss = pallas_sampler.sample_slab(
             cur_cmajor, u, v, height=H, channels=C,
             rows_per_tile=rpt,
             margin=cfg.pallas_margin,
@@ -180,6 +184,7 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
         chans = tuple(smp_cm[c] for c in range(C))
     else:
         chans, inb = _sample_gather(cur_slab, u, v)
+        win_miss = None
 
     i2 = chans[pyr.CH_I]
     z2 = chans[pyr.CH_Z]
@@ -202,6 +207,13 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     rZ = jnp.where(valid, rZ, 0.0) if cfg.use_depth else jnp.zeros_like(rI)
     n_raw = _psum(vF.sum(), axis_name)
     n = jnp.maximum(n_raw, 1.0)
+    if win_miss is not None:
+        n_window_miss = _psum(
+            (ref.selected & (Z > 1e-6) & win_miss).astype(dtype).sum(),
+            axis_name,
+        )
+    else:
+        n_window_miss = jnp.asarray(0.0, dtype)
 
     # --- robust scale + weights (bivariate t-distribution default) ---
     floor_II = cfg.min_intensity_sigma**2
@@ -332,6 +344,7 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     return Linearization(
         A=Amat, b=bvec, err_mean=err_mean, n_valid=n, n_raw=n_raw,
         sigma=sigma, log1p_sum=log1p_sum, err_raw=err_raw,
+        n_window_miss=n_window_miss,
     )
 
 

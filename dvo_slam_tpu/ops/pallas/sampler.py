@@ -143,6 +143,10 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
       valid:   (N,) bool — in-window AND full 2x2 footprint in-bounds AND
         every footprint pixel finite in every channel (the gather path's
         per-point NaN semantics, via the sampled mask channel).
+      window_miss: (N,) bool — in-bounds points masked ONLY because their
+        warped row left the band's window (indistinguishable from genuine
+        invalidity in `valid`; callers surface/escalate on this count —
+        the kernel's one silent-accuracy failure mode).
     """
     CHpad, Wp = slab_cmajor.shape
     C = channels + 1  # +1: finiteness-mask channel travels with the data
@@ -166,10 +170,14 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
 
     # Per-band window origin: mean clipped warped row, clamped inside the
     # (padded) image and 8-aligned (DMA alignment). Points farther than the
-    # window from the band mean are masked, not mis-sampled.
+    # window from the band mean are masked, not mis-sampled. The +4 bias
+    # centers the 8-row alignment floor's error (otherwise the floor can
+    # eat up to 7 rows of the UPPER margin — at margin 1 that masked
+    # points with zero motion whenever band_row % 8 == 7).
     v_clip = jnp.clip(v, 0.0, H - 1.0).reshape(NT, P)
     oy = jnp.clip(
-        jnp.round(v_clip.mean(axis=1)).astype(jnp.int32) - Hw // 2, 0, Hpad - Hw
+        jnp.round(v_clip.mean(axis=1)).astype(jnp.int32) - Hw // 2 + 4,
+        0, Hpad - Hw,
     )
     oy = (oy // 8) * 8
 
@@ -214,8 +222,9 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
              else _MASK_NOISE_DEFAULT)
     w_min = jnp.minimum(fx, 1.0 - fx) * jnp.minimum(fy, 1.0 - fy)
     thresh = 1.0 - jnp.maximum(0.5 * w_min, noise)
-    valid = inb & (out[C] > 0.5) & (out[channels] >= thresh)
-    return out[:channels], valid
+    in_window = out[C] > 0.5
+    valid = inb & in_window & (out[channels] >= thresh)
+    return out[:channels], valid, inb & ~in_window
 
 
 def slab_to_cmajor(slab, dtype=None, mask_channels=None):

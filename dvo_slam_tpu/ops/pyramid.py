@@ -90,7 +90,17 @@ def build_pyramid(intensity, depth, num_levels):
     intensity: (H, W) float (0..255 grayscale); depth: (H, W) metric meters,
     NaN = invalid. Equivalent to RgbdImagePyramid::build +
     per-level buildAccelerationStructure.
+
+    RAW sensor dtypes are accepted and converted on device: uint8
+    intensity (PNG grayscale) and uint16 depth (Kinect/TUM raw, 5000
+    units/m — convert_raw_depth). Streaming callers upload the raw 3
+    bytes/pixel instead of 8 (f32 pair), which matters when host->device
+    bandwidth bounds the pipeline (docs/performance.md).
     """
+    if intensity.dtype == jnp.uint8:
+        intensity = intensity.astype(jnp.float32)
+    if depth.dtype == jnp.uint16:
+        depth = convert_raw_depth(depth)
     levels = []
     cur_i, cur_z = intensity, depth
     for lvl in range(num_levels):

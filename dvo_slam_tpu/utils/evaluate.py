@@ -54,20 +54,67 @@ def ate_rmse(estimated, groundtruth, with_scale=False):
     return float(np.sqrt((err**2).sum(axis=1).mean()))
 
 
-def rpe(estimated, groundtruth, delta=1):
-    """Relative pose error over frame delta.
+def rpe(estimated, groundtruth, delta=1, timestamps=None, per_second=False,
+        max_pairs=10000, seed=0):
+    """Relative pose error (TUM evaluate_rpe.py semantics).
 
-    Returns (trans_rmse [m], rot_rmse [rad]).
+    Default: fixed FRAME delta (`delta` an integer index offset) over all
+    consecutive pairs — the quick sanity metric.
+
+    per_second=True reproduces the TUM tool's published protocol
+    (evaluate_rpe.py --fixed_delta --delta 1 --delta_unit s): `delta` is
+    in SECONDS, the pair for index i is the pose whose timestamp is
+    closest to t_i + delta, and at most `max_pairs` pairs are used
+    (random downsampling with a fixed seed, matching the tool's
+    max_pairs behaviour deterministically). Requires `timestamps`.
+    The result is then translational drift in m/s / rotational drift in
+    rad/s — the numbers published for the reference (IROS13 tables).
+
+    Returns (trans_rmse, rot_rmse).
     """
-    trans_err, rot_err = [], []
     n = len(estimated)
-    if delta < 1 or n - delta < 1:
-        raise ValueError(
-            f"rpe needs at least delta+1 poses (got {n} poses, delta={delta})"
-        )
-    for i in range(n - delta):
-        est_rel = se3_np.inverse(estimated[i]) @ estimated[i + delta]
-        gt_rel = se3_np.inverse(groundtruth[i]) @ groundtruth[i + delta]
+    if per_second:
+        if timestamps is None:
+            raise ValueError("per_second RPE requires timestamps")
+        ts = np.asarray(timestamps, np.float64)
+        targets = ts + float(delta)
+        # Closest-timestamp pairing (TUM find_closest_index), vectorized.
+        js = np.searchsorted(ts, targets)
+        # Tolerance: drop pairs whose realized gap deviates >20% from the
+        # requested delta (the sequence tail, association holes). The TUM
+        # script keeps the clamped tail pairs; on its long sequences the
+        # difference is negligible, and dropping them is more faithful to
+        # "drift per second" on short ones.
+        tol = 0.2 * float(delta)
+        pairs = []
+        for i in range(n):
+            j = js[i]
+            best = None
+            for cand in (j - 1, j):
+                if 0 <= cand < n and cand > i:
+                    d = abs(ts[cand] - targets[i])
+                    if best is None or d < best[1]:
+                        best = (cand, d)
+            if best is not None and best[1] <= tol:
+                pairs.append((i, best[0]))
+        if not pairs:
+            raise ValueError("no pose pairs span the requested time delta")
+        if max_pairs and len(pairs) > max_pairs:
+            rng = np.random.default_rng(seed)
+            keep = rng.choice(len(pairs), size=max_pairs, replace=False)
+            pairs = [pairs[k] for k in sorted(keep)]
+    else:
+        delta = int(delta)
+        if delta < 1 or n - delta < 1:
+            raise ValueError(
+                f"rpe needs at least delta+1 poses (got {n} poses, delta={delta})"
+            )
+        pairs = [(i, i + delta) for i in range(n - delta)]
+
+    trans_err, rot_err = [], []
+    for i, j in pairs:
+        est_rel = se3_np.inverse(estimated[i]) @ estimated[j]
+        gt_rel = se3_np.inverse(groundtruth[i]) @ groundtruth[j]
         e = se3_np.inverse(gt_rel) @ est_rel
         trans_err.append(np.linalg.norm(e[:3, 3]))
         cos_r = np.clip((np.trace(e[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)

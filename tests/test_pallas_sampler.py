@@ -32,7 +32,7 @@ def test_sampler_matches_gather_bilinear():
     slab = jax.random.normal(jax.random.PRNGKey(0), (C, H, W), jnp.float32)
     u, v = _coords()
     cm = sampler.slab_to_cmajor(slab)
-    smp, valid = sampler.sample_slab(
+    smp, valid, _ = sampler.sample_slab(
         cm, u, v, height=H, rows_per_tile=1, margin=8,
         precision=jax.lax.Precision.HIGHEST, interpret=True,
     )
@@ -59,7 +59,7 @@ def test_sampler_nan_depth_semantics():
         slab = slab.at[1, r, c].set(jnp.nan)  # depth channel
     u, v = _coords()
     cm = sampler.slab_to_cmajor(slab)
-    smp, valid = sampler.sample_slab(
+    smp, valid, _ = sampler.sample_slab(
         cm, u, v, height=H, rows_per_tile=1, margin=8,
         precision=jax.lax.Precision.HIGHEST, interpret=True,
     )
@@ -95,15 +95,25 @@ def test_sampler_window_masking():
         indexing="ij",
     )
     u = ug.reshape(-1)
-    v = vg.reshape(-1).at[:128].add(25.0)  # first row jumps far below band
+    # HALF of the first band jumps far down-image: the band window follows
+    # the band MEAN row, so the jumped half leaves the window while the
+    # staying half remains inside it.
+    v = vg.reshape(-1).at[:64].add(25.0)
     cm = sampler.slab_to_cmajor(slab)
-    _, valid = sampler.sample_slab(
-        cm, u, v, height=H, rows_per_tile=1, margin=4,
+    _, valid, win_miss = sampler.sample_slab(
+        cm, u, v, height=H, rows_per_tile=1, margin=1,
         precision=jax.lax.Precision.HIGHEST, interpret=True,
     )
     valid = np.asarray(valid)
+    win_miss = np.asarray(win_miss)
     # In-image but out-of-window points masked; the rest kept.
     assert valid[256:].mean() > 0.9
+    assert not valid[:64].any()
+    # The masked points are REPORTED as window misses (observability:
+    # distinct from NaN/out-of-bounds invalidity), and only they are.
+    assert win_miss[:64].mean() > 0.9
+    assert not win_miss[256:].any()
+    assert not (valid & win_miss).any()
 
 
 def test_tracker_pallas_backend_matches_gather():
@@ -139,3 +149,70 @@ def test_tracker_pallas_backend_matches_gather():
         np.asarray(rp.transformation), np.asarray(rg.transformation), atol=1e-5
     )
     assert abs(float(rp.valid_pixels) - float(rg.valid_pixels)) <= 2
+
+
+def test_violent_motion_escalates_to_gather():
+    """fr1-class angular velocity between frames pushes warped rows past a
+    small pallas window: the tracker must REPORT the masking
+    (window_miss_frac) and the escalating dual-track wrapper must recover
+    the gather backend's pose instead of silently losing accuracy."""
+    from dvo_slam_tpu.models import dense_tracker
+
+    Wi, Hi = 128, 32
+    K_t = (40.0, 40.0, (Wi - 1) / 2, (Hi - 1) / 2)
+    scene = synthetic.two_plane_scene()
+    # Large ROLL (rotation about the optical axis), fr1-class angular
+    # velocity at 30 Hz: rows move DIFFERENTIALLY across each band
+    # (±x*sin(theta) ≈ ±19 rows at the image edges) — the per-band
+    # window follows the band MEAN, so differential motion is exactly
+    # what escapes a narrow window.
+    xi = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.3])
+    T_rel = se3_np.exp(xi)
+    i0, z0 = scene.render(np.asarray(K_t), Wi, Hi, np.eye(4))
+    i1, z1 = scene.render(np.asarray(K_t), Wi, Hi, se3_np.inverse(T_rel))
+    Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), 1)
+    ref = pyramid.build_pyramid(jnp.asarray(i0), jnp.asarray(z0), 1)
+    cur = pyramid.build_pyramid(jnp.asarray(i1), jnp.asarray(z1), 1)
+
+    cfg_g = TrackerConfig(num_levels=1, first_level=0, last_level=0,
+                          max_iterations=15)
+    # Single-level track with a restrictive window: rows_per_tile 4 on
+    # the 128-wide level -> 8 bands of height 4; margin 1 -> Hw = 16 of
+    # 32 image rows.
+    cfg_p = dataclasses.replace(
+        cfg_g, sampler_backend="pallas", pallas_precision="highest",
+        pallas_rows_per_tile=4, pallas_margin=1,
+    )
+
+    rg = dense_tracker.track_jit(ref, cur, Ks, jnp.eye(4), cfg_g)
+    rp = dense_tracker.track_jit(ref, cur, Ks, jnp.eye(4), cfg_p)
+    # Detection: the narrow window masked a meaningful fraction.
+    assert float(rp.window_miss_frac) > 0.02
+    assert float(rg.window_miss_frac) == 0.0
+
+    # Escalation: the batched wrapper re-tracks with gather and matches
+    # the BATCHED gather baseline (vmap changes f32 reduction order, so
+    # the unbatched gather track is only close, not bit-equal).
+    refs = tuple(jnp.stack([l, l]) for l in ref)
+    inits = jnp.stack([jnp.eye(4)] * 2)
+    fn = jax.jit(
+        lambda r, c, t: dense_tracker.track_batched_escalating(
+            r, c, Ks, t, cfg_p
+        )
+    )
+    re = fn(refs, cur, inits)
+    assert bool(np.asarray(re.escalated).all())
+    assert float(np.asarray(re.window_miss_frac).max()) == 0.0  # gather rerun
+
+    # Pose error vs ground truth must match the gather backend's quality
+    # (this single-level violent-roll problem is numerically chaotic —
+    # XLA reduction-order noise shifts individual iterates — so compare
+    # error magnitudes, not matrix entries).
+    rg_b = dense_tracker.track_batched(refs, cur, Ks, inits, cfg_g)
+    err = lambda T: np.linalg.norm(se3_np.log(
+        np.asarray(T, np.float64) @ se3_np.inverse(T_rel)
+    ))
+    err_esc = err(re.transformation[0])
+    err_g = err(rg_b.transformation[0])
+    assert err_esc < 0.1  # really tracked most of the 0.3 rad roll
+    assert abs(err_esc - err_g) < 0.01  # gather-quality, no silent loss

@@ -300,3 +300,44 @@ def test_garbage_frame_recovery():
     assert all(np.isfinite(T).all() for T in out)
     # Frames after the garbage one must still track (pose not frozen).
     assert np.linalg.norm(out[-1][:3, 3] - out[5][:3, 3]) > 1e-5
+
+
+def test_false_loop_edge_evicted_mid_run():
+    """Per-insertion outlier pruning (reference OptimizationRemoveOutliers):
+    an injected false loop edge is masked when the next interleaved solve
+    is consumed — mid-run, not at finish()."""
+    scene = synthetic.two_plane_scene()
+    gt = synthetic.orbit_trajectory(12, radius=0.06)
+    seq = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, gt)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(gt[0])
+    for i in range(6):
+        if i and i % 2 == 0:
+            slam.force_keyframe()
+        slam.update(seq[i][0], seq[i][1], i / 30.0)
+    assert len(slam.keyframes) >= 3
+
+    # Inject a wildly wrong loop edge (1 m off) with confident information.
+    e_idx = int(slam.graph.num_edges)
+    bogus = np.eye(4)
+    bogus[0, 3] = 1.0
+    slam._add_edge(0, len(slam.keyframes) - 1, bogus, 1e4 * np.eye(6))
+    assert bool(slam.graph.edge_mask[e_idx])
+
+    # Two more switches: the first dispatches a solve over the poisoned
+    # graph, the second consumes it (weights ride the pose fetch) and
+    # must evict the edge.
+    for i in range(6, 12):
+        if i % 2 == 0:
+            slam.force_keyframe()
+        slam.update(seq[i][0], seq[i][1], i / 30.0)
+    assert not bool(slam.graph.edge_mask[e_idx]), (
+        "false loop edge survived interleaved pruning"
+    )
+    # Odometry edges stay.
+    for e in range(int(slam.graph.num_edges)):
+        if abs(int(slam.graph.edge_j[e]) - int(slam.graph.edge_i[e])) == 1:
+            assert bool(slam.graph.edge_mask[e])
+    # Trajectory unharmed by the injected edge.
+    final = slam.finish()
+    assert evaluate.ate_rmse([T for _, T in final], gt) < 0.005

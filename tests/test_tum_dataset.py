@@ -84,3 +84,44 @@ def test_benchmark_runs_on_tum_dataset(tum_dir):
     )
     assert res.num_frames == 5
     assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.01
+
+
+def test_rpe_per_second_matches_constant_drift():
+    """Per-second RPE (TUM evaluate_rpe.py --fixed_delta --delta_unit s
+    protocol): a constant per-frame drift of d meters at rate hz must read
+    as d*hz m/s, independent of the frame-delta reading."""
+    import numpy as np
+
+    from dvo_slam_tpu.utils import evaluate
+
+    hz, n, d = 30.0, 91, 1e-3
+    ts = [i / hz for i in range(n)]
+    gt, est = [], []
+    for i in range(n):
+        T = np.eye(4)
+        T[0, 3] = 0.01 * i
+        gt.append(T.copy())
+        T[0, 3] += d * i  # accumulating drift
+        est.append(T)
+    t_sec, _ = evaluate.rpe(est, gt, delta=1.0, timestamps=ts,
+                            per_second=True)
+    # Within-tolerance tail pairs (gap >= 0.8 s) pull the RMSE slightly
+    # below the exact 30-frame value.
+    assert abs(t_sec - d * hz) / (d * hz) < 0.02
+    t_frame, _ = evaluate.rpe(est, gt, delta=1)
+    assert abs(t_frame - d) < 1e-12
+
+    # Downsampling path stays deterministic and in range.
+    t_a, _ = evaluate.rpe(est, gt, delta=1.0, timestamps=ts,
+                          per_second=True, max_pairs=10)
+    t_b, _ = evaluate.rpe(est, gt, delta=1.0, timestamps=ts,
+                          per_second=True, max_pairs=10)
+    assert t_a == t_b
+    assert abs(t_a - d * hz) / (d * hz) < 0.05
+
+    # Too-short trajectory: no pair spans the delta.
+    import pytest
+
+    with pytest.raises(ValueError):
+        evaluate.rpe(est[:5], gt[:5], delta=1.0, timestamps=ts[:5],
+                     per_second=True)
