@@ -294,13 +294,14 @@ def _bench_chunked(args, cfg, K_t, frames, lc=False):
     def make():
         return ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
 
-    # Warmup: with loop closure the candidate count (and the pose-graph
-    # bucket sizes) grow over the run, so a short warm run would leave
-    # solver/validator compiles inside the timed region — warm over the
-    # FULL workload.
+    # Warmup over the FULL workload: the pose-graph solver is cropped to
+    # power-of-two buckets of the ACTIVE graph, so keyframe growth crosses
+    # bucket boundaries mid-run (one recompile each, O(log N) per run) —
+    # and with loop closure the candidate buckets grow too. A short warm
+    # run would leave those compiles inside the timed region.
     warm = make()
     warm.init()
-    run(warm, staged if lc else staged[:3], 0.0)
+    run(warm, staged, 0.0)
     warm.finish()
 
     slam = make()
@@ -404,9 +405,9 @@ def _bench_slam(args, cfg, K_t, frames, lc=False):
 
     warm = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
     warm.init()
-    # Loop closure: candidate counts / solver buckets grow over the run —
-    # warm the full workload (see _bench_chunked).
-    run(warm, args.frames if lc else 2 * n_ring + 17, 0.0)
+    # Candidate counts / solver buckets grow over the run — warm the full
+    # workload (see _bench_chunked).
+    run(warm, args.frames, 0.0)
 
     slam = KeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
     slam.init()

@@ -142,6 +142,10 @@ def main(argv=None):
     p.add_argument("--viz-out", default=None,
                    help="drive a live-updating visualizer in-process "
                         "(trajectory.png/.txt re-rendered as frames arrive)")
+    p.add_argument("--publish-clouds", action="store_true",
+                   help="attach downsampled keyframe point clouds to the "
+                        "pose feed (remote `viz` renders the live map - "
+                        "the PCL point-cloud topic equivalent)")
     _add_tracker_args(p)
     _add_slam_args(p)
 
@@ -264,7 +268,8 @@ def main(argv=None):
         print(f"listening on {address} mode={args.mode}", file=sys.stderr)
         node.serve(address, K, tracker_cfg, slam_cfg, mode=args.mode,
                    with_covariance=args.covariance, unix=unix,
-                   max_sessions=args.max_sessions, visualizer=viz)
+                   max_sessions=args.max_sessions, visualizer=viz,
+                   publish_clouds=args.publish_clouds)
         return 0
 
     if args.command == "synthetic":

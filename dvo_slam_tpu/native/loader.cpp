@@ -101,6 +101,17 @@ bool decode_png(const std::vector<uint8_t>& file, Image& img,
     pos += 12 + len;
   }
   if (img.width <= 0 || img.height <= 0) { err = "bad IHDR"; return false; }
+  // IHDR dims are UNTRUSTED input driving allocations below: a crafted
+  // header (e.g. 2^30 x 2^30) must become a clean error, not a bad_alloc
+  // escaping the C ABI (std::terminate) or a size_t overflow in
+  // (stride+1)*height that under-allocates the inflate buffer. 2^15 per
+  // side admits any camera frame and keeps all products well inside 64
+  // bits; the raw-size cap below bounds the worst allocation at ~8.6 GB
+  // -> rejected long before resize for anything non-degenerate.
+  if (img.width > (1 << 15) || img.height > (1 << 15)) {
+    err = "implausible dimensions";
+    return false;
+  }
   if (interlace != 0) { err = "interlaced png unsupported"; return false; }
   switch (color_type) {
     case 0: img.channels = 1; break;  // grayscale
@@ -118,6 +129,12 @@ bool decode_png(const std::vector<uint8_t>& file, Image& img,
   const int bytes_per_px = img.channels * img.bit_depth / 8;
   const size_t stride = size_t(img.width) * bytes_per_px;
   const size_t raw_size = (stride + 1) * size_t(img.height);
+  // Degenerate-but-in-cap headers (32k x 32k RGBA16) still describe ~8.6
+  // GB; our frames are camera-sized. Reject before allocating.
+  if (raw_size > (size_t(1) << 30)) {
+    err = "implausible image size";
+    return false;
+  }
   std::vector<uint8_t> raw(raw_size);
 
   z_stream zs{};
@@ -263,12 +280,21 @@ struct Loader {
       f.intensity.resize(n);
       f.depth.resize(n);
       std::string err1, err2;
-      bool ok1 = decode_intensity(rgb_paths[next_decode].c_str(),
-                                  f.intensity.data(), width, height, err1);
-      bool ok2 = decode_depth(depth_paths[next_decode].c_str(),
-                              f.depth.data(), width, height, depth_scale, err2);
-      f.ok = ok1 && ok2;
-      if (!f.ok) f.err = err1.empty() ? err2 : err1;
+      // Exceptions (bad_alloc under memory pressure) must not escape the
+      // decode thread: std::terminate would take the whole process down
+      // on one bad frame. Failed frames are skipped like decode errors.
+      try {
+        bool ok1 = decode_intensity(rgb_paths[next_decode].c_str(),
+                                    f.intensity.data(), width, height, err1);
+        bool ok2 = decode_depth(depth_paths[next_decode].c_str(),
+                                f.depth.data(), width, height, depth_scale,
+                                err2);
+        f.ok = ok1 && ok2;
+        if (!f.ok) f.err = err1.empty() ? err2 : err1;
+      } catch (const std::exception& e) {
+        f.ok = false;
+        f.err = e.what();
+      }
       ++next_decode;
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [&] { return queue.size() < queue_capacity || stop.load(); });
@@ -288,39 +314,49 @@ struct Loader {
 
 extern "C" {
 
-// One-shot decoders (thread-safe, no state).
+// One-shot decoders (thread-safe, no state). All entry points catch — a C
+// ABI boundary an exception crosses is std::terminate, so one corrupt
+// frame from a ctypes caller must never take the process down.
 int dvo_decode_intensity(const char* path, float* out, int width, int height) {
   std::string err;
-  if (!decode_intensity(path, out, width, height, err)) {
-    std::fprintf(stderr, "dvo_decode_intensity(%s): %s\n", path, err.c_str());
-    return -1;
+  try {
+    if (decode_intensity(path, out, width, height, err)) return 0;
+  } catch (const std::exception& e) {
+    err = e.what();
   }
-  return 0;
+  std::fprintf(stderr, "dvo_decode_intensity(%s): %s\n", path, err.c_str());
+  return -1;
 }
 
 int dvo_decode_depth(const char* path, float* out, int width, int height,
                      float scale) {
   std::string err;
-  if (!decode_depth(path, out, width, height, scale, err)) {
-    std::fprintf(stderr, "dvo_decode_depth(%s): %s\n", path, err.c_str());
-    return -1;
+  try {
+    if (decode_depth(path, out, width, height, scale, err)) return 0;
+  } catch (const std::exception& e) {
+    err = e.what();
   }
-  return 0;
+  std::fprintf(stderr, "dvo_decode_depth(%s): %s\n", path, err.c_str());
+  return -1;
 }
 
 // Probe a PNG's dimensions without full decode.
 int dvo_png_size(const char* path, int* width, int* height) {
-  std::vector<uint8_t> file;
-  if (!read_file(path, file) || file.size() < 33) return -1;
-  if (read_be32(&file[12]) != 0x49484452 /* "IHDR" */) return -1;
-  *width = int(read_be32(&file[16]));
-  *height = int(read_be32(&file[20]));
-  return 0;
+  try {
+    std::vector<uint8_t> file;
+    if (!read_file(path, file) || file.size() < 33) return -1;
+    if (read_be32(&file[12]) != 0x49484452 /* "IHDR" */) return -1;
+    *width = int(read_be32(&file[16]));
+    *height = int(read_be32(&file[20]));
+    return 0;
+  } catch (const std::exception&) {
+    return -1;
+  }
 }
 
 void* dvo_loader_create(const char** rgb_paths, const char** depth_paths,
                         int count, int width, int height, float depth_scale,
-                        int prefetch) {
+                        int prefetch) try {
   Loader* L = new Loader();
   L->rgb_paths.assign(rgb_paths, rgb_paths + count);
   L->depth_paths.assign(depth_paths, depth_paths + count);
@@ -330,6 +366,8 @@ void* dvo_loader_create(const char** rgb_paths, const char** depth_paths,
   L->queue_capacity = size_t(prefetch > 0 ? prefetch : 4);
   L->worker = std::thread([L] { L->run(); });
   return L;
+} catch (const std::exception&) {
+  return nullptr;
 }
 
 // Blocks until the next frame is decoded. Returns the frame index, or -1 at

@@ -18,14 +18,21 @@ Wire protocol (newline-delimited JSON headers, raw payloads):
       {"cmd": "force_keyframe"}\n | {"cmd": "reset"}\n |
       {"cmd": "finish"}\n  (server replies with the full trajectory and
                            closes) | {"cmd": "trajectory"}\n |
-      {"cmd": "configure", "tracker": {<TrackerConfig fields>}}\n
-          (the dynamic_reconfigure equivalent: live-retune tracker knobs;
-           pyramid geometry fields are rejected mid-run — replies with the
-           resulting config or an error)
+      {"cmd": "configure", "tracker": {<TrackerConfig fields>},
+       "slam": {<SlamConfig fields>}}\n
+          (the dynamic_reconfigure equivalent: live-retune tracker AND
+           SLAM-layer knobs — keyframe/loop-closure thresholds etc., the
+           reference's dvo_slam::Config .cfg surface; pyramid geometry and
+           padded-capacity fields are rejected mid-run — replies with the
+           resulting configs or an error)
   server -> client, per frame (the PoseWithCovarianceStamped equivalent;
   also THE feed a live visualizer consumes — the rviz stand-in):
       {"t": ..., "pose": [16 floats, row-major T_world_cam],
-       "keyframe": bool, "covariance": [36 floats]?}\n
+       "keyframe": bool, "covariance": [36 floats]?,
+       "cloud": {"points": [[x,y,z]...], "colors": [[r,g,b]...]}?}\n
+          (cloud: downsampled world-frame keyframe point cloud, attached
+           on keyframe frames when the server runs publish_clouds — the
+           reference's PCL/rviz point-cloud topic equivalent)
   server -> client, on finish/trajectory:
       {"trajectory": [{"t": ..., "pose": [...]}, ...]}\n
 
@@ -118,13 +125,14 @@ class SlamNode:
 
     def __init__(self, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                  with_covariance=False, frame_logger=None, visualizer=None,
-                 visualizer_lock=None):
+                 visualizer_lock=None, publish_clouds=False):
         from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 
         tracker_cfg = tracker_cfg or TrackerConfig()
         slam_cfg = slam_cfg or SlamConfig()
         self.mode = mode
         self.with_covariance = with_covariance
+        self.publish_clouds = publish_clouds
         self.visualizer = visualizer
         # The visualizer may be shared by concurrent camera sessions in
         # the threaded server (serve passes one shared lock); matplotlib
@@ -166,50 +174,82 @@ class SlamNode:
             # subscribers. Clamp to a huge variance ("unknown").
             cov = np.where(np.isfinite(cov), cov, 1e12)
             msg["covariance"] = cov.reshape(-1).tolist()
+        if is_kf and (self.visualizer is not None or self.publish_clouds):
+            from dvo_slam_tpu.utils.visualization import point_cloud_from_rgbd
+
+            pts, colors = point_cloud_from_rgbd(
+                intensity, depth, self._K, np.asarray(pose), stride=8
+            )
+            if self.publish_clouds:
+                # Downsampled world-frame keyframe cloud on the pose feed
+                # (reference PCL/rviz point-cloud topic): remote viewers
+                # render the map live, not just the trajectory.
+                msg["cloud"] = {
+                    "points": np.round(pts, 4).tolist(),
+                    "colors": np.round(colors, 3).tolist(),
+                }
         if self.visualizer is not None:
             with self._viz_lock:
                 self.visualizer.add_pose(t, np.asarray(pose), is_kf)
                 if is_kf:
-                    from dvo_slam_tpu.utils.visualization import (
-                        point_cloud_from_rgbd,
-                    )
-
-                    pts, colors = point_cloud_from_rgbd(
-                        intensity, depth, self._K, np.asarray(pose), stride=8
-                    )
                     self.visualizer.add_point_cloud(pts, colors)
         return msg
 
-    def reconfigure(self, tracker_fields: dict) -> dict:
-        """Live-retune tracker knobs (reference dynamic_reconfigure /
-        CameraDenseTracker.cfg): rebuilds the static TrackerConfig, which
-        recompiles on the next frame — the same semantics as the
-        reference rebuilding its trackers on a reconfigure callback.
-        Pyramid geometry cannot change mid-run (stored keyframe pyramids
-        were built with it)."""
+    # SlamConfig fields that size compiled/stored state: changing them on
+    # a live map would orphan the padded graph / window / HBM budget.
+    _FROZEN_SLAM = {"max_keyframes", "max_edges", "local_map_capacity"}
+
+    def reconfigure(self, tracker_fields: dict,
+                    slam_fields: Optional[dict] = None) -> dict:
+        """Live-retune tracker AND SLAM knobs (reference dynamic_reconfigure:
+        CameraDenseTracker.cfg + dvo_slam/cfg/*.cfg): rebuilds the frozen
+        configs, which recompile on the next frame — the same semantics as
+        the reference rebuilding its trackers on a reconfigure callback.
+        Pyramid geometry and padded capacities cannot change mid-run
+        (stored keyframe pyramids / the live graph were built with them)."""
         import dataclasses
 
+        slam_fields = slam_fields or {}
         frozen = {"num_levels", "first_level", "last_level"}
         bad = frozen & set(tracker_fields)
+        if bad:
+            return {"error": f"cannot change {sorted(bad)} mid-run"}
+        if self.mode == "odometry" and slam_fields:
+            return {"error": "odometry mode has no slam config"}
+        bad = self._FROZEN_SLAM & set(slam_fields)
         if bad:
             return {"error": f"cannot change {sorted(bad)} mid-run"}
         try:
             if self.mode == "odometry":
                 new = dataclasses.replace(self.engine.cfg, **tracker_fields)
                 self.engine.cfg = new
-            else:
-                new = dataclasses.replace(self.engine.tracker_cfg,
-                                          **tracker_fields)
-                self.engine.tracker_cfg = new
-                self.engine.fine_cfg = new
+                return {"tracker": dataclasses.asdict(new)}
+            new = dataclasses.replace(self.engine.tracker_cfg,
+                                      **tracker_fields)
+            new_slam = dataclasses.replace(self.engine.slam_cfg,
+                                           **slam_fields)
+            self.engine.tracker_cfg = new
+            self.engine.fine_cfg = new
+            self.engine.coarse_cfg = dataclasses.replace(
+                self.engine.coarse_cfg,
+                **{k: v for k, v in tracker_fields.items()
+                   if k != "max_iterations"},
+            )
+            self.engine.slam_cfg = new_slam
+            if slam_fields:
+                # The coarse validation tracker derives from slam fields.
                 self.engine.coarse_cfg = dataclasses.replace(
                     self.engine.coarse_cfg,
-                    **{k: v for k, v in tracker_fields.items()
-                       if k != "max_iterations"},
+                    first_level=min(new_slam.coarse_first_level,
+                                    new.num_levels - 1),
+                    last_level=min(new_slam.coarse_last_level,
+                                   new.num_levels - 1),
+                    max_iterations=new_slam.coarse_max_iterations,
                 )
         except (TypeError, ValueError) as e:
             return {"error": str(e)}
-        return {"tracker": dataclasses.asdict(new)}
+        return {"tracker": dataclasses.asdict(new),
+                "slam": dataclasses.asdict(new_slam)}
 
     def handle_cmd(self, cmd: str) -> Optional[dict]:
         if cmd == "force_keyframe":
@@ -265,7 +305,8 @@ def serve_connection(sock: socket.socket, node: SlamNode,
                 header = json.loads(line)
             if "cmd" in header:
                 if header["cmd"] == "configure":
-                    reply = node.reconfigure(header.get("tracker", {}))
+                    reply = node.reconfigure(header.get("tracker", {}),
+                                             header.get("slam"))
                 else:
                     reply = node.handle_cmd(header["cmd"])
                 if reply is not None:
@@ -291,7 +332,7 @@ def serve_connection(sock: socket.socket, node: SlamNode,
 
 def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
           with_covariance=False, unix=False, max_sessions=None,
-          visualizer=None):
+          visualizer=None, publish_clouds=False):
     """Accept camera sessions + subscribers (one SlamNode per camera).
 
     address: (host, port) for TCP or a filesystem path for unix=True.
@@ -300,6 +341,9 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
     visualizer: optional TrajectoryVisualizerInterface driven in-process
       per frame (the reference node's own rviz publishing); remote viewers
       use subscribe/`view()` instead.
+    publish_clouds: attach a downsampled world-frame keyframe point cloud
+      to each keyframe's pose message (remote viewers render the live map
+      — the reference's PCL point-cloud topic equivalent).
     """
     broadcast = Broadcast()
     done = threading.Semaphore(0)
@@ -331,7 +375,8 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                     return
                 node = SlamNode(K, tracker_cfg, slam_cfg, mode,
                                 with_covariance, visualizer=visualizer,
-                                visualizer_lock=viz_lock)
+                                visualizer_lock=viz_lock,
+                                publish_clouds=publish_clouds)
                 try:
                     serve_connection(self.request, node, broadcast,
                                      first_header=header, rfile=rfile)
@@ -402,9 +447,12 @@ class StreamClient:
             return json.loads(self._rfile.readline())
         return None
 
-    def configure(self, **tracker_fields) -> dict:
-        msg = json.dumps({"cmd": "configure", "tracker": tracker_fields})
-        self.sock.sendall((msg + "\n").encode())
+    def configure(self, slam: Optional[dict] = None,
+                  **tracker_fields) -> dict:
+        body = {"cmd": "configure", "tracker": tracker_fields}
+        if slam:
+            body["slam"] = slam
+        self.sock.sendall((json.dumps(body) + "\n").encode())
         return json.loads(self._rfile.readline())
 
     def subscribe(self):
@@ -444,6 +492,11 @@ def view(address, visualizer, unix=False, max_poses=None) -> int:
                 np.asarray(msg["pose"], np.float64).reshape(4, 4),
                 bool(msg.get("keyframe", False)),
             )
+            if "cloud" in msg:
+                visualizer.add_point_cloud(
+                    np.asarray(msg["cloud"]["points"], np.float64),
+                    np.asarray(msg["cloud"]["colors"], np.float64),
+                )
             seen += 1
             if max_poses is not None and seen >= max_poses:
                 break

@@ -166,16 +166,19 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
         assert cur_cmajor is not None, "pallas backend needs cur_cmajor"
         prec = (jax.lax.Precision.HIGHEST if cfg.pallas_precision == "highest"
                 else jax.lax.Precision.DEFAULT)
-        # rows_per_tile must divide the level height AND keep the per-tile
-        # point count lane-aligned (P = rpt*W multiple of 128); otherwise
-        # fall back to one whole-image tile (coarse levels — full window).
+        # rows_per_tile must divide the REFERENCE rows behind the points
+        # (H unless the reference grid is row-sharded, parallel/sharded.py)
+        # AND keep the per-tile point count lane-aligned (P = rpt*W
+        # multiple of 128); otherwise fall back to one whole-shard tile
+        # (coarse levels — full window).
+        Hr = ref.px.shape[0] // W
         candidates = [
-            d for d in range(1, min(cfg.pallas_rows_per_tile, H) + 1)
-            if H % d == 0 and (d * W) % 128 == 0
+            d for d in range(1, min(cfg.pallas_rows_per_tile, Hr) + 1)
+            if Hr % d == 0 and (d * W) % 128 == 0
         ]
-        rpt = max(candidates) if candidates else H
+        rpt = max(candidates) if candidates else Hr
         smp_cm, inb, win_miss = pallas_sampler.sample_slab(
-            cur_cmajor, u, v, height=H, channels=C,
+            cur_cmajor, u, v, height=H, width=W, channels=C,
             rows_per_tile=rpt,
             margin=cfg.pallas_margin,
             precision=prec,

@@ -115,11 +115,11 @@ def _sample_kernel(oy_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "channels", "rows_per_tile", "margin",
-                     "precision", "interpret"),
+                     "precision", "interpret", "width"),
 )
 def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
                 margin=16, precision=jax.lax.Precision.DEFAULT,
-                interpret=False):
+                interpret=False, width=None):
     """Bilinearly sample all C channels at warped coords.
 
     Args:
@@ -127,10 +127,17 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         slab_to_cmajor (per-channel row blocks padded to 8 rows, width
         padded to 128; block C is the finiteness mask, NaNs zeroed).
       u, v: (N,) warped pixel coordinates for the ref grid, row-major
-        (N = H*W with H, W the UNPADDED image dims).
-      height: the unpadded image height H (static).
+        (N = Hr*W with W the unpadded image width and Hr the number of
+        REFERENCE rows behind these points — Hr == H unless the reference
+        grid is row-sharded across devices, in which case each shard
+        passes its own N while the slab/height stay the full image).
+      height: the unpadded CURRENT image height H (static; bounds checks
+        and window clamping).
+      width: the unpadded image width W (static). Default None infers
+        N // height — correct only when Hr == H; sharded callers MUST
+        pass it (a shard's N would silently imply a wrong width).
       channels: number of real (pre-mask) channels C in the slab (static).
-      rows_per_tile: reference rows per grid step (must divide H with
+      rows_per_tile: reference rows per grid step (must divide Hr with
         rows_per_tile*W a multiple of 128 — ops/linearize.py picks it).
       margin: window margin in rows above/below the band.
       precision: MXU precision of the one-hot matmul. DEFAULT is a single
@@ -154,10 +161,11 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     Hpad = CHpad // C
     N = u.shape[0]
     H = height
-    W = N // H
+    W = width if width is not None else N // H
+    Hr = N // W  # reference rows behind the points (== H unless sharded)
     P = rows_per_tile * W
-    NT = H // rows_per_tile
-    assert NT * P == N, (H, W, N, rows_per_tile)
+    NT = Hr // rows_per_tile
+    assert NT * P == N, (H, W, Hr, N, rows_per_tile)
     Hw = min(Hpad, _round_up(rows_per_tile + 2 * margin + 2, 8) + 8)
 
     u0f = jnp.floor(u)

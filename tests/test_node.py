@@ -18,13 +18,15 @@ SLAM = SlamConfig(max_keyframes=32, max_edges=128, min_constraint_distance=3,
                   validation_batch=4)
 
 
-def _serve_unix(path, mode, with_covariance=False, visualizer=None):
+def _serve_unix(path, mode, with_covariance=False, visualizer=None,
+                publish_clouds=False):
     t = threading.Thread(
         target=node.serve,
         args=(path, K),
         kwargs=dict(tracker_cfg=TRACKER, slam_cfg=SLAM, mode=mode,
                     with_covariance=with_covariance, unix=True,
-                    max_sessions=1, visualizer=visualizer),
+                    max_sessions=1, visualizer=visualizer,
+                    publish_clouds=publish_clouds),
         daemon=True,
     )
     t.start()
@@ -249,5 +251,46 @@ def test_live_slam_covariance(tmp_path):
     c2 = np.asarray(msgs[2]["covariance"]).reshape(6, 6)
     assert np.isfinite(c2).all() and (np.linalg.eigvalsh(c2) > 0).all()
     client.finish()
+    client.close()
+    thread.join(timeout=30)
+
+
+def test_live_slam_reconfigure_and_clouds(tmp_path):
+    """Round 3 surface: SlamConfig fields retune live (the reference's
+    dvo_slam dynamic_reconfigure .cfg) and keyframe point clouds ride the
+    pose feed (the PCL point-cloud topic equivalent)."""
+    sock_path = str(tmp_path / "cfg2.sock")
+    thread = _serve_unix(sock_path, "slam", publish_clouds=True)
+    client = _wait_socket(sock_path)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(5, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+
+    # Frame 0 creates the anchor keyframe: its message carries the cloud.
+    msg0 = client.send_frame(0.0, *frames[0])
+    assert msg0["keyframe"] and "cloud" in msg0
+    pts = np.asarray(msg0["cloud"]["points"])
+    cols = np.asarray(msg0["cloud"]["colors"])
+    assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) >= 40
+    assert cols.shape == pts.shape
+    assert np.isfinite(pts).all()
+
+    # SLAM-layer knobs retune live; capacities are refused.
+    reply = client.configure(
+        slam={"min_entropy_ratio": 0.8, "new_constraint_search_radius": 2.0,
+              "coarse_max_iterations": 10},
+        max_iterations=12,
+    )
+    assert reply["slam"]["min_entropy_ratio"] == 0.8
+    assert reply["slam"]["new_constraint_search_radius"] == 2.0
+    assert reply["tracker"]["max_iterations"] == 12
+    bad = client.configure(slam={"max_keyframes": 64})
+    assert "error" in bad
+
+    for i in range(1, 5):
+        msg = client.send_frame(i / 30.0, *frames[i])
+        assert ("cloud" in msg) == bool(msg["keyframe"])
+    final = client.finish()
+    assert len(final["trajectory"]) == 5
     client.close()
     thread.join(timeout=30)

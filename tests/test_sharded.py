@@ -215,3 +215,44 @@ def test_make_mesh_honors_explicit_axes():
     assert sharded.make_mesh(8, dp=2, sp=4).devices.shape == (2, 4)
     with pytest.raises(ValueError):
         sharded.make_mesh(8, dp=3)
+
+
+def test_sharded_pallas_sampler_matches_single_device(mesh):
+    """The pallas one-hot sampler under pixel sharding (interpret mode on
+    the CPU mesh): each shard samples with its row-offset reference grid
+    against the replicated current slab. Geometry is explicit (sample_slab
+    width arg) — a shard's point count alone would silently imply a wrong
+    image width (SURVEY.md §2.5 P1 x P4 interaction)."""
+    import dataclasses
+
+    # W=128 so the fine level admits rows_per_tile=1 per 16-row shard.
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=8, sampler_backend="pallas",
+                        pallas_precision="highest", pallas_rows_per_tile=2,
+                        pallas_margin=8)
+    ref, cur, Ks, T_rel = _pair(W=128, H=32)
+    B = 4
+    refs = tuple(jnp.broadcast_to(l, (B,) + l.shape) for l in ref)
+    curs = tuple(jnp.broadcast_to(l, (B,) + l.shape) for l in cur)
+    T0 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+    fn = sharded.sharded_track_pairs(mesh, cfg)
+    res_sharded = fn(refs, curs, Ks, T0)
+
+    cfg_g = dataclasses.replace(cfg, sampler_backend="gather")
+    res_single = dense_tracker.track_jit(ref, cur, Ks, jnp.eye(4), cfg_g)
+
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.transformation[0]),
+        np.asarray(res_single.transformation),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        float(res_sharded.valid_pixels[0]),
+        float(res_single.valid_pixels), rtol=1e-3,
+    )
+    err = np.linalg.norm(se3_np.log(
+        np.asarray(res_sharded.transformation[0], np.float64)
+        @ se3_np.inverse(T_rel)
+    ))
+    assert err < 2e-3
