@@ -52,9 +52,13 @@ def main():
     ap.add_argument("--margin", type=int, default=None,
                     help="override pallas window margin (rows)")
     ap.add_argument("--chunk-size", type=int, default=None,
-                    help="run through the chunked device-resident "
-                         "front-end (accuracy parity check for the "
-                         "remoted-device fast path)")
+                    help="run ALL modes through the chunked device-resident "
+                         "front-end (default: per-frame engine for "
+                         "slam/keyframe, plus one chunked-slam run at "
+                         "--chunked-gate-size as its own gate)")
+    ap.add_argument("--chunked-gate-size", type=int, default=16,
+                    help="chunk size for the default chunked-slam gate "
+                         "(0 disables the extra run)")
     ap.add_argument("--calib-error", type=float, default=0.0,
                     help="relative focal-length miscalibration used for "
                          "tracking (renders use the true K). NOTE: a "
@@ -128,16 +132,23 @@ def main():
         min_entropy_ratio=0.96,
     )
 
+    # The two engines are separate gates: the per-frame orchestrator is
+    # the reference-parity path, the chunked device-resident front-end is
+    # the fast path — a silent accuracy regression in either must fail.
+    runs = [("slam", args.chunk_size), ("keyframe", args.chunk_size)]
+    if args.chunk_size is None and args.chunked_gate_size:
+        runs.append(("slam-chunked", args.chunked_gate_size))
     results = {}
-    for mode in ("slam", "keyframe"):
+    for name, chunk in runs:
+        mode = "slam" if name == "slam-chunked" else name
         t0 = time.perf_counter()
         res = benchmark.run_tum_dataset(
             out_dir, tracker_cfg, slam_cfg, mode=mode, intrinsics=K_track,
-            chunk_size=args.chunk_size,
+            chunk_size=chunk,
         )
         wall = time.perf_counter() - t0
-        results[mode] = res
-        print(f"# {mode}: ate={res.ate_rmse_m*1000:.2f}mm "
+        results[name] = res
+        print(f"# {name}: ate={res.ate_rmse_m*1000:.2f}mm "
               f"rpe_t={res.rpe_trans_m*1000:.2f}mm kf={res.num_keyframes} "
               f"loop_edges={res.num_loop_edges} fps={res.fps:.1f} "
               f"(wall {wall:.1f}s incl. decode+compile)", file=sys.stderr)
@@ -158,10 +169,22 @@ def main():
             results["slam"].num_loop_edges >= 1 and ate_slam <= 0.7 * ate_odo
         ),
     }
+    if "slam-chunked" in results:
+        chunked = results["slam-chunked"]
+        verdict["ate_slam_chunked_m"] = round(chunked.ate_rmse_m, 6)
+        verdict["chunked_loop_edges"] = chunked.num_loop_edges
+        # The fast path must hold the same absolute bound AND the same
+        # loop-closure value as the per-frame engine.
+        verdict["gate_chunked"] = bool(
+            chunked.ate_rmse_m < args.ate_bound_m
+            and chunked.num_loop_edges >= 1
+            and chunked.ate_rmse_m <= 0.7 * ate_odo
+        )
     print(json.dumps(verdict))
     if not args.keep and args.dir is None:
         shutil.rmtree(out_dir, ignore_errors=True)
-    return 0 if verdict["gate_absolute"] and verdict["gate_loop_beats_odometry"] else 1
+    ok = verdict["gate_absolute"] and verdict["gate_loop_beats_odometry"]
+    return 0 if ok and verdict.get("gate_chunked", True) else 1
 
 
 if __name__ == "__main__":

@@ -74,7 +74,7 @@ def make_ring_graph(M, loop_every=8, noise=0.01, seed=0):
     return g
 
 
-def time_solve(graph, iters, reps=3):
+def time_solve(graph, iters, reps=3, solver="dense"):
     import jax
     import jax.numpy as jnp
 
@@ -90,11 +90,13 @@ def time_solve(graph, iters, reps=3):
         p[:, :3, 3] += d.astype(np.float32)
         variants.append(graph._replace(poses=jnp.asarray(p)))
 
-    _, chi2, _ = pose_graph.optimize(variants[0], iterations=iters)  # compile
+    _, chi2, _ = pose_graph.optimize(variants[0], iterations=iters,
+                                     solver=solver)  # compile
     jax.block_until_ready(chi2)
     t0 = time.perf_counter()
     for r in range(1, reps + 1):
-        _, chi2, _ = pose_graph.optimize(variants[r], iterations=iters)
+        _, chi2, _ = pose_graph.optimize(variants[r], iterations=iters,
+                                         solver=solver)
         jax.block_until_ready(chi2)
     return (time.perf_counter() - t0) / reps, float(chi2)
 
@@ -104,6 +106,7 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[64, 128, 256, 512, 1024])
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--solver", choices=["dense", "cg"], default="dense")
     ap.add_argument("--active", type=int, default=30,
                     help="active size for the padded-vs-cropped comparison")
     args = ap.parse_args()
@@ -116,7 +119,7 @@ def main():
     print(f"{'M':>6} {'E':>6} {'ms/solve':>10} {'ms/LM-iter':>10} {'chi2':>12}")
     for M in args.sizes:
         g = make_ring_graph(M)
-        dt, chi2 = time_solve(g, args.iters)
+        dt, chi2 = time_solve(g, args.iters, solver=args.solver)
         E = int(g.num_edges)
         print(f"{M:>6} {E:>6} {1000 * dt:>10.1f} "
               f"{1000 * dt / args.iters:>10.2f} {chi2:>12.4g}")
@@ -130,11 +133,11 @@ def main():
         if M < n:
             continue
         g = pose_graph.grow(base, max_vertices=M, max_edges=4 * M)
-        dt, _ = time_solve(g, args.iters)
+        dt, _ = time_solve(g, args.iters, solver=args.solver)
         print(f"{M:>6} {1000 * dt:>10.1f}")
     Mb = pose_graph.bucket(n, 16)
     g = pose_graph.grow(base, max_vertices=Mb)
-    dt, _ = time_solve(g, args.iters)
+    dt, _ = time_solve(g, args.iters, solver=args.solver)
     print(f"# cropped bucket ({Mb}): {1000 * dt:.1f} ms "
           "(what the orchestrator's _solve_view dispatches)")
 

@@ -181,6 +181,12 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=100)
     p.add_argument("--no-robust-kernel", action="store_true")
     p.add_argument("--cauchy-c", type=float, default=1.0)
+    p.add_argument("--solver", choices=["auto", "dense", "cg"],
+                   default="auto",
+                   help="auto: dense Cholesky below "
+                        "SlamConfig.graph_cg_threshold vertices, "
+                        "matrix-free block-Jacobi CG at/above it (dense "
+                        "cannot compile at M>=2048 on one v5e)")
 
     args = ap.parse_args(argv)
 
@@ -204,11 +210,18 @@ def main(argv=None):
         from dvo_slam_tpu.models import pose_graph
         from dvo_slam_tpu.utils import g2o_io
 
+        from dvo_slam_tpu.config import SlamConfig
+
         g = g2o_io.load_g2o(args.graph)
+        solver = args.solver
+        if solver == "auto":
+            solver = ("cg" if g.poses.shape[0]
+                      >= SlamConfig().graph_cg_threshold else "dense")
         solved, chi2, _ = pose_graph.optimize(
             g, iterations=args.iterations,
             use_robust=not args.no_robust_kernel,
             cauchy_c=args.cauchy_c,
+            solver=solver,
         )
         g2o_io.save_g2o(args.out, solved)
         print(f"vertices {int(g.num_vertices)} edges {int(g.num_edges)} "

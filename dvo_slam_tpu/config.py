@@ -234,6 +234,16 @@ class SlamConfig:
     final_optimization_iterations: int = 100
     use_robust_kernel: bool = True
     cauchy_c: float = 1.0
+    # Solve buckets of at least this many vertices with the matrix-free
+    # block-Jacobi CG solver instead of the dense 6Mx6M Cholesky
+    # (reference analog: g2o's sparse CSparse/Cholmod backend). Measured
+    # v5e (bench/graph_bench.py): dense stays FASTER up to M=1024 (711 vs
+    # 1375 ms/solve — CG's small serialized matvecs are latency-bound)
+    # but fails to COMPILE at M=2048 (XLA materializes a 16 GB padded
+    # temp for the 12k x 12k system); CG is O(E + M) memory and solves
+    # M=2048 in 5.8 s. 2048 = the scaling escape hatch for multi-hour
+    # runs, not a fast path.
+    graph_cg_threshold: int = 2048
     # Remove loop edges whose robust weight falls below this after an
     # optimization round (reference Config::OptimizationRemoveOutliers +
     # OptimizationOutlierWeightThreshold).

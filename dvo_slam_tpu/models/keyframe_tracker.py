@@ -657,8 +657,9 @@ class KeyframeSlam:
         # the normal flow: the orchestrator syncs at every switch before
         # adding, and adds precede this dispatch).
         self._sync_poses()
+        view = self._solve_view()
         g_opt, chi2, weights = pose_graph.optimize(
-            self._solve_view(),
+            view,
             iterations=iterations,
             use_robust=self.slam_cfg.use_robust_kernel,
             cauchy_c=self.slam_cfg.cauchy_c,
@@ -666,6 +667,7 @@ class KeyframeSlam:
             # insertion; a modest GNC anneal lets them act before the
             # kernel tightens (see pose_graph.optimize docstring).
             gnc_init=16.0,
+            solver=self._solver_for(view),
         )
         self._pending_poses = g_opt.poses  # device; fetched lazily
         # Per-edge robust weights ride the same lazy fetch: per-insertion
@@ -687,6 +689,13 @@ class KeyframeSlam:
         Mb = pose_graph.bucket(len(self.keyframes), 16)
         Eb = pose_graph.bucket(int(self.graph.num_edges), 64)
         return pose_graph.crop(self.graph, Mb, Eb)
+
+    def _solver_for(self, view: pose_graph.PoseGraph) -> str:
+        """Dense Cholesky below graph_cg_threshold vertices; matrix-free
+        block-Jacobi CG at and above it (the dense 6Mx6M system grows
+        O(M^2) memory / O(M^3) solve — see pose_graph.optimize)."""
+        return ("cg" if view.poses.shape[0]
+                >= self.slam_cfg.graph_cg_threshold else "dense")
 
     def _sync_poses(self):
         """Blocking fetch of the device-optimized poses into kf_poses."""
@@ -743,11 +752,13 @@ class KeyframeSlam:
         OptimizationRemoveOutliers; the per-insertion path in _apply_poses
         usually got there first)."""
         self._sync_poses()  # weights must reflect the latest solve
+        view = self._solve_view()
         _, _, weights = pose_graph.optimize(
-            self._solve_view(),
+            view,
             iterations=1,
             use_robust=self.slam_cfg.use_robust_kernel,
             cauchy_c=self.slam_cfg.cauchy_c,
+            solver=self._solver_for(view),
         )
         self._mask_outlier_edges(np.asarray(weights))
 

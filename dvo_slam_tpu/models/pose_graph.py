@@ -157,8 +157,12 @@ def _robust_edge_weight(chi2, cauchy_c, use_robust):
     return jnp.where(use_robust, w, jnp.ones_like(w))
 
 
-def _build_system(graph: PoseGraph, use_robust, cauchy_c):
-    """Assemble H (6M, 6M), g (6M,), total robust chi2, per-edge weights."""
+def _build_blocks(graph: PoseGraph, use_robust, cauchy_c):
+    """Per-edge Hessian blocks + per-vertex gradient — the block-sparse
+    form of the GN system. Nothing of size (M, M) is materialized: the
+    dense path scatters these into a 6Mx6M matrix; the CG path consumes
+    them directly as a matvec (its memory is O(E + M), the CSparse-shaped
+    scaling the reference gets from g2o; SURVEY.md §4.6)."""
     M = graph.poses.shape[0]
 
     def per_edge(i, j, Z, info, mask):
@@ -173,7 +177,6 @@ def _build_system(graph: PoseGraph, use_robust, cauchy_c):
     )
     winfo = w[:, None, None] * graph.information  # (E, 6, 6)
 
-    # Blocks.
     hp = jax.lax.Precision.HIGHEST
     Hii = jnp.einsum("eai,eab,ebj->eij", Ji, winfo, Ji, precision=hp)
     Hjj = jnp.einsum("eai,eab,ebj->eij", Jj, winfo, Jj, precision=hp)
@@ -181,26 +184,125 @@ def _build_system(graph: PoseGraph, use_robust, cauchy_c):
     gi = jnp.einsum("eai,eab,eb->ei", Ji, winfo, e, precision=hp)
     gj = jnp.einsum("eai,eab,eb->ei", Jj, winfo, e, precision=hp)
 
+    g = jnp.zeros((M, 6), dtype=graph.poses.dtype)
+    g = g.at[graph.edge_i].add(gi)
+    g = g.at[graph.edge_j].add(gj)
+
+    # Extra diagonal blocks beyond the edge contributions: gauge fix on
+    # vertex 0 (g2o setFixed equivalent) + identity on inactive (padded)
+    # vertices so the system stays SPD.
+    vid = jnp.arange(M)
+    inactive = (vid >= graph.num_vertices).astype(g.dtype)
+    extra = inactive[:, None, None] * jnp.eye(6, dtype=g.dtype)
+    extra = extra.at[0].add(_GAUGE_WEIGHT * jnp.eye(6, dtype=g.dtype))
+
+    total_chi2 = (w * chi2).sum()
+    return (Hii, Hjj, Hij, extra), g, total_chi2, w
+
+
+def _block_diag(graph: PoseGraph, blocks):
+    """Per-vertex (6, 6) diagonal blocks of H (incl. gauge/inactive)."""
+    Hii, Hjj, _, extra = blocks
+    M = graph.poses.shape[0]
+    D = jnp.zeros((M, 6, 6), dtype=Hii.dtype)
+    D = D.at[graph.edge_i].add(Hii)
+    D = D.at[graph.edge_j].add(Hjj)
+    return D + extra
+
+
+def _block_matvec(graph: PoseGraph, blocks, diag_damp, x):
+    """y = (H + diag_damp) @ x without materializing H.
+
+    x, y: (M, 6); diag_damp: (M, 6) per-coordinate diagonal addition
+    (LM damping + jitter). One edge-gather + two scatter-adds — O(E)
+    memory traffic per product."""
+    Hii, Hjj, Hij, extra = blocks
+    xi = x[graph.edge_i]
+    xj = x[graph.edge_j]
+    hp = jax.lax.Precision.HIGHEST
+    yi = (jnp.einsum("eab,eb->ea", Hii, xi, precision=hp)
+          + jnp.einsum("eab,eb->ea", Hij, xj, precision=hp))
+    yj = (jnp.einsum("eba,eb->ea", Hij, xi, precision=hp)
+          + jnp.einsum("eab,eb->ea", Hjj, xj, precision=hp))
+    y = jnp.zeros_like(x)
+    y = y.at[graph.edge_i].add(yi)
+    y = y.at[graph.edge_j].add(yj)
+    y = y + jnp.einsum("mab,mb->ma", extra, x, precision=hp)
+    return y + diag_damp * x
+
+
+def _solve_cg(graph: PoseGraph, blocks, lam, b, maxiter, tol=1e-6):
+    """Block-Jacobi-preconditioned conjugate gradient for (H + damping)x = b.
+
+    The damped H is SPD (gauge prior + inactive identities + LM damping),
+    so CG applies; the preconditioner inverts the per-vertex (6, 6)
+    diagonal blocks — the block structure the reference's sparse Cholesky
+    exploits, spent here on making CG's iteration count ~O(graph
+    diameter) instead of a factorization."""
+    dtype = b.dtype
+    D = _block_diag(graph, blocks)
+    diag_vec = jnp.diagonal(D, axis1=-2, axis2=-1)  # (M, 6)
+    diag_damp = lam * diag_vec + _JITTER
+    D_damped = D + jax.vmap(jnp.diag)(diag_damp)
+    # Block inverses via Cholesky of each 6x6 (SPD by construction).
+    L = jax.vmap(lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(
+        D_damped
+    )
+    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), D.shape)
+    Minv = jax.vmap(lambda l, i: jax.scipy.linalg.cho_solve((l, True), i))(
+        L, eye6
+    )  # (M, 6, 6)
+
+    def precond(r):
+        return jnp.einsum("mab,mb->ma", Minv, r,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    bnorm2 = jnp.maximum((b * b).sum(), jnp.asarray(1e-30, dtype))
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+
+    def cond(c):
+        return (c["k"] < maxiter) & (c["rr"] > tol * tol * bnorm2)
+
+    def body(c):
+        Ap = _block_matvec(graph, blocks, diag_damp, c["p"])
+        pAp = (c["p"] * Ap).sum()
+        alpha = jnp.where(pAp > 0, c["rz"] / pAp, 0.0)
+        x = c["x"] + alpha * c["p"]
+        r = c["r"] - alpha * Ap
+        z = precond(r)
+        rz = (r * z).sum()
+        beta = jnp.where(c["rz"] > 0, rz / c["rz"], 0.0)
+        p = z + beta * c["p"]
+        return {"x": x, "r": r, "p": p, "rz": rz, "rr": (r * r).sum(),
+                "k": c["k"] + 1}
+
+    out = jax.lax.while_loop(cond, body, {
+        "x": x0, "r": r0, "p": z0, "rz": (r0 * z0).sum(),
+        "rr": (r0 * r0).sum(), "k": jnp.asarray(0, jnp.int32),
+    })
+    return out["x"]
+
+
+def _build_system(graph: PoseGraph, use_robust, cauchy_c):
+    """Assemble H (6M, 6M), g (6M,), total robust chi2, per-edge weights
+    (the dense path; small M — scatter the per-edge blocks)."""
+    M = graph.poses.shape[0]
+    (Hii, Hjj, Hij, extra), g, total_chi2, w = _build_blocks(
+        graph, use_robust, cauchy_c
+    )
+
     H = jnp.zeros((M, M, 6, 6), dtype=graph.poses.dtype)
     H = H.at[graph.edge_i, graph.edge_i].add(Hii)
     H = H.at[graph.edge_j, graph.edge_j].add(Hjj)
     H = H.at[graph.edge_i, graph.edge_j].add(Hij)
     H = H.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(Hij, -1, -2))
-    g = jnp.zeros((M, 6), dtype=graph.poses.dtype)
-    g = g.at[graph.edge_i].add(gi)
-    g = g.at[graph.edge_j].add(gj)
-
-    # Gauge fix: strong prior on vertex 0 (g2o setFixed equivalent).
-    H = H.at[0, 0].add(_GAUGE_WEIGHT * jnp.eye(6, dtype=H.dtype))
-    # Inactive (padded) vertices get identity diagonal blocks so the
-    # Cholesky factorization stays SPD.
     vid = jnp.arange(M)
-    inactive = (vid >= graph.num_vertices).astype(H.dtype)
-    H = H.at[vid, vid].add(inactive[:, None, None] * jnp.eye(6, dtype=H.dtype))
+    H = H.at[vid, vid].add(extra)
 
     H_flat = H.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
     g_flat = g.reshape(6 * M)
-    total_chi2 = (w * chi2).sum()
     return H_flat, g_flat, total_chi2, w
 
 
@@ -228,11 +330,21 @@ def _apply_delta(poses, delta, num_vertices):
     return jax.vmap(lambda dd, T: se3.exp(dd) @ T)(d, poses)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "use_robust"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "use_robust", "solver")
+)
 def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
              cauchy_c: float = 1.0, gnc_init: float = 1.0,
-             gnc_decay: float = 0.5):
+             gnc_decay: float = 0.5, solver: str = "dense"):
     """Levenberg-Marquardt over the padded pose graph.
+
+    solver: "dense" materializes the 6Mx6M system and Cholesky-factors it
+    (exact; O(M^2) memory, O(M^3) solve — right for the tens-to-hundreds
+    of keyframes real sequences produce). "cg" never materializes H:
+    block-Jacobi-preconditioned conjugate gradient over the per-edge
+    blocks (O(E + M) memory per LM iteration — the scaling path for
+    hour-long runs; orchestrators switch at SlamConfig.graph_cg_threshold
+    vertices). Both run the same LM accept/reject loop.
 
     gnc_init > 1 anneals the robustness (graduated non-convexity): the
     Cauchy width starts at gnc_init * cauchy_c and decays by gnc_decay per
@@ -263,12 +375,17 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
             1.0, gnc_init * gnc_decay ** carry["k"].astype(dtype)
         )
         c_eff = cauchy_c * anneal
-        H, g, chi2, _ = _build_system(g_cur, use_robust, c_eff)
-        damped = H + carry["lam"] * jnp.diag(jnp.diagonal(H)) + _JITTER * jnp.eye(
-            6 * M, dtype=dtype
-        )
-        L, low = jax.scipy.linalg.cho_factor(damped, lower=True)
-        delta = jax.scipy.linalg.cho_solve((L, low), -g)
+        if solver == "cg":
+            blocks, g, chi2, _ = _build_blocks(g_cur, use_robust, c_eff)
+            delta = _solve_cg(g_cur, blocks, carry["lam"], -g,
+                              maxiter=4 * M).reshape(6 * M)
+            g = g.reshape(6 * M)
+        else:
+            H, g, chi2, _ = _build_system(g_cur, use_robust, c_eff)
+            damped = (H + carry["lam"] * jnp.diag(jnp.diagonal(H))
+                      + _JITTER * jnp.eye(6 * M, dtype=dtype))
+            L, low = jax.scipy.linalg.cho_factor(damped, lower=True)
+            delta = jax.scipy.linalg.cho_solve((L, low), -g)
         delta = jnp.where(jnp.isfinite(delta).all(), delta, jnp.zeros_like(delta))
         new_poses = _apply_delta(g_cur.poses, delta, g_cur.num_vertices)
         g_new = g_cur._replace(poses=new_poses)
@@ -298,7 +415,8 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
     }
     out = jax.lax.while_loop(cond, body, init)
     final_graph = out["graph"]
-    _, _, chi2, weights = _build_system(final_graph, use_robust, cauchy_c)
+    # Final chi2/weights need residuals only — blocks, not the 6Mx6M H.
+    _, _, chi2, weights = _build_blocks(final_graph, use_robust, cauchy_c)
     return final_graph, chi2, weights
 
 

@@ -132,3 +132,30 @@ def test_robust_kernel_rejects_false_loop():
     assert w[e] < 0.05, f"false loop edge weight {w[e]}"
     # Odometry edges keep healthy weights.
     assert np.asarray(weights)[:7].min() > 0.3
+
+
+def test_cg_solver_matches_dense():
+    """The matrix-free block-Jacobi CG path (large-M scaling,
+    SlamConfig.graph_cg_threshold) must reach the dense Cholesky
+    solution on the same drifted chain."""
+    g, gt, _ = _chain_graph(n=8, drift=0.03)
+    dense, chi2_d, w_d = pose_graph.optimize(g, iterations=30, gnc_init=64.0)
+    cg, chi2_c, w_c = pose_graph.optimize(g, iterations=30, gnc_init=64.0,
+                                          solver="cg")
+    # Same optimum: chi2 within a few percent, poses within mm/mrad.
+    assert float(chi2_c) <= 1.05 * float(chi2_d) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(cg.poses[:8]), np.asarray(dense.poses[:8]), atol=5e-3
+    )
+    np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_d), atol=5e-2)
+
+
+def test_cg_solver_padding_invariance():
+    """CG must ignore inactive (padded) vertices/edges like dense does."""
+    g_small, _, _ = _chain_graph(n=6, drift=0.02, max_v=8, max_e=16)
+    g_big, _, _ = _chain_graph(n=6, drift=0.02, max_v=32, max_e=64)
+    o_small, _, _ = pose_graph.optimize(g_small, iterations=15, solver="cg")
+    o_big, _, _ = pose_graph.optimize(g_big, iterations=15, solver="cg")
+    np.testing.assert_allclose(
+        np.asarray(o_small.poses[:6]), np.asarray(o_big.poses[:6]), atol=5e-4
+    )
