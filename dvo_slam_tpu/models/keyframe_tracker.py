@@ -664,9 +664,14 @@ class KeyframeSlam:
             use_robust=self.slam_cfg.use_robust_kernel,
             cauchy_c=self.slam_cfg.cauchy_c,
             # Fresh loop-closure edges carry drift-sized residuals at
-            # insertion; a modest GNC anneal lets them act before the
-            # kernel tightens (see pose_graph.optimize docstring).
+            # insertion; the ADAPTIVE GNC anneal sizes the initial kernel
+            # width from the worst active edge so a correct loop edge
+            # starts at weight ~0.5 regardless of accumulated drift or
+            # information scale (fixed anneals silently zero out loop
+            # edges at 640x480 information magnitudes — see
+            # pose_graph.optimize docstring); gnc_init stays as the floor.
             gnc_init=16.0,
+            gnc_adaptive=True,
             solver=self._solver_for(view),
         )
         self._pending_poses = g_opt.poses  # device; fetched lazily

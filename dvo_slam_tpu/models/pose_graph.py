@@ -331,11 +331,13 @@ def _apply_delta(poses, delta, num_vertices):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "use_robust", "solver")
+    jax.jit,
+    static_argnames=("iterations", "use_robust", "solver", "gnc_adaptive"),
 )
 def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
              cauchy_c: float = 1.0, gnc_init: float = 1.0,
-             gnc_decay: float = 0.5, solver: str = "dense"):
+             gnc_decay: float = 0.5, solver: str = "dense",
+             gnc_adaptive: bool = False):
     """Levenberg-Marquardt over the padded pose graph.
 
     solver: "dense" materializes the 6Mx6M system and Cholesky-factors it
@@ -358,6 +360,15 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
     validation (models/constraints.py) remains the primary outlier filter
     and gnc_init should stay modest for interleaved per-insertion solves.
 
+    gnc_adaptive=True sizes the initial anneal from the DATA instead of a
+    fixed gnc_init (the standard GNC initialization, Yang et al. 2020):
+    the starting Cauchy width covers the worst active edge's chi2, so its
+    initial robust weight is ~0.5 no matter how large accumulated drift
+    got. A fixed anneal silently fails at scale: tracker information
+    matrices grow with pixel count, so a drift-sized loop residual at
+    640x480 can sit at chi2 ~ 10^3-10^4 — weight ~0 under gnc_init=16,
+    and the (correct) loop edge never pulls. gnc_init acts as a floor.
+
     Returns (optimized PoseGraph, final chi2, per-edge robust weights at
     the base cauchy_c). Equivalent of KeyframeGraph's interleaved g2o
     optimize() calls; run with a larger iteration count for
@@ -366,13 +377,23 @@ def optimize(graph: PoseGraph, iterations: int = 20, use_robust: bool = True,
     dtype = graph.poses.dtype
     M = graph.poses.shape[0]
 
+    anneal0 = jnp.asarray(gnc_init, dtype)
+    if gnc_adaptive:
+        # Start the annealed width at the worst ACTIVE edge's residual
+        # scale: c_eff0^2 = max(chi2) => that edge begins at weight 0.5.
+        chi2_edges = edge_chi2(graph) * graph.edge_mask.astype(dtype)
+        anneal0 = jnp.maximum(
+            anneal0,
+            jnp.sqrt(jnp.maximum(chi2_edges.max(), 1.0)) / cauchy_c,
+        )
+
     def cond(carry):
         return (carry["k"] < iterations) & ~carry["done"]
 
     def body(carry):
         g_cur = carry["graph"]
         anneal = jnp.maximum(
-            1.0, gnc_init * gnc_decay ** carry["k"].astype(dtype)
+            1.0, anneal0 * gnc_decay ** carry["k"].astype(dtype)
         )
         c_eff = cauchy_c * anneal
         if solver == "cg":

@@ -23,10 +23,16 @@ TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0,
 def test_on_disk_slam_accuracy(tmp_path):
     rng = np.random.default_rng(11)
     scene = synthetic.two_plane_scene(sharpness=2.0)
-    poses = synthetic.orbit_trajectory(50, radius=0.25, yaw_amplitude=0.6)
+    # cycles=2.0 + enough sensor noise that odometry accumulates REAL
+    # drift (~9.5 mm over the run at this scale): the slam-vs-odometry
+    # margin gate below needs drift loop closure can visibly repair —
+    # with gentle noise the loop edge's residual is ~0 and the solve
+    # correctly no-ops, making the margin unmeasurable.
+    poses = synthetic.orbit_trajectory(60, radius=0.25, yaw_amplitude=0.6,
+                                       cycles=2.0)
     frames = [
-        synthetic.add_sensor_noise(i, z, rng, intensity_std=2.0,
-                                   depth_rel_std=0.01, dropout=0.02)
+        synthetic.add_sensor_noise(i, z, rng, intensity_std=3.0,
+                                   depth_rel_std=0.015, dropout=0.08)
         for i, z in synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
     ]
     out = str(tmp_path / "seq")
@@ -46,3 +52,14 @@ def test_on_disk_slam_accuracy(tmp_path):
     assert res.num_keyframes >= 3, res
     assert res.num_loop_edges >= 1, res
     assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.02, res
+
+    # Loop-closure VALUE gate (round-3 regression guard): accepted loop
+    # edges must actually pull the trajectory — full SLAM beats pure
+    # keyframe odometry. Without it, robust-kernel/information-scale bugs
+    # that zero out every loop edge's weight leave slam ATE EXACTLY equal
+    # to odometry while still reporting accepted edges (seen at full
+    # scale when a fixed GNC anneal met 640x480 information magnitudes).
+    odo = benchmark.run_tum_dataset(out, TRACKER, slam_cfg, mode="keyframe",
+                                    intrinsics=K)
+    assert res.ate_rmse_m < 0.7 * odo.ate_rmse_m, (res.ate_rmse_m,
+                                                   odo.ate_rmse_m)

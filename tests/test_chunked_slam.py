@@ -278,3 +278,39 @@ def test_chunked_reset_clears_local_map_window():
     assert all(fi > reset_anchor_record for fi in slam._local_map.frame_indices)
     traj = slam.finish()
     assert all(np.isfinite(T).all() for _, T in traj)
+
+
+def test_raw_u8_u16_chunks_match_f32():
+    """Raw sensor chunks (uint8 intensity + uint16 depth, converted on
+    device inside the scan — the streaming upload format, 2.7x less
+    transfer) must produce the identical trajectory to pre-converted f32
+    chunks of the same quantized values."""
+    seq_i, seq_z, ts, _ = _sequence()
+    # Quantize ONCE so both runs see the same sensor values.
+    raw_i = np.clip(np.round(seq_i), 0, 255).astype(np.uint8)
+    raw_z = np.nan_to_num(seq_z * 5000.0, nan=0.0).astype(np.uint16)
+    f32_i = raw_i.astype(np.float32)
+    f32_z = raw_z.astype(np.float32) / 5000.0
+    f32_z[raw_z == 0] = np.nan
+
+    def run(ii, zz):
+        slam = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+        slam.init()
+        poses = []
+        for k in range(0, len(ts), 4):
+            poses.extend(slam.update_chunk(ii[k:k + 4], zz[k:k + 4],
+                                           ts[k:k + 4]))
+        return slam, poses
+
+    slam_raw, poses_raw = run(raw_i, raw_z)
+    slam_f32, poses_f32 = run(f32_i, f32_z)
+    # The u8/u16 inputs compile a DIFFERENT program than the f32 inputs
+    # (conversion fuses into the pyramid build), so f32 reduction orders
+    # may differ and IRLS amplifies the last-ulp deltas — bitwise pose
+    # equality is not guaranteed across programs. Gate semantics instead:
+    # same keyframe cadence, same per-frame poses to sub-mm tolerance.
+    assert [k.idx for k in slam_raw.keyframes] == \
+           [k.idx for k in slam_f32.keyframes]
+    for Tr, Tf in zip(poses_raw, poses_f32):
+        np.testing.assert_allclose(Tr[:3, 3], Tf[:3, 3], atol=5e-4)
+        np.testing.assert_allclose(Tr[:3, :3], Tf[:3, :3], atol=5e-3)

@@ -159,3 +159,37 @@ def test_cg_solver_padding_invariance():
     np.testing.assert_allclose(
         np.asarray(o_small.poses[:6]), np.asarray(o_big.poses[:6]), atol=5e-4
     )
+
+
+def test_adaptive_gnc_recovers_high_information_loop():
+    """Regression (round 3): tracker information scales with pixel count,
+    so at 640x480 a correct loop edge carrying accumulated drift can sit
+    at chi2 ~ 10^3-10^4 — a FIXED GNC anneal leaves its Cauchy weight ~0
+    and the loop never closes (full SLAM silently degraded to odometry).
+    gnc_adaptive must size the initial kernel width from the data."""
+    g, gt, _ = _chain_graph(n=8, drift=0.05)
+    # Scale ALL information to full-frame magnitudes (the tracker's
+    # JTWJ over ~3e5 pixels): chi2 per edge grows ~1e4.
+    g = g._replace(information=g.information * 1e4)
+
+    fixed, _, w_fixed = pose_graph.optimize(g, iterations=30, gnc_init=16.0)
+    adapt, _, w_adapt = pose_graph.optimize(g, iterations=30, gnc_init=16.0,
+                                            gnc_adaptive=True)
+    loop = int(np.asarray(g.num_edges)) - 1  # last edge = the loop edge
+
+    # The fixed anneal crushes the loop edge (this is the failure mode).
+    assert float(np.asarray(w_fixed)[loop]) < 0.05
+    # Adaptive GNC lets it pull: healthy final weight and a closed loop.
+    assert float(np.asarray(w_adapt)[loop]) > 0.5
+
+    def loop_gap(poses):
+        T_last = np.asarray(poses[7], np.float64)
+        T_first = np.asarray(poses[0], np.float64)
+        Z_loop = se3_np.inverse(gt[-1]) @ gt[0]
+        return np.linalg.norm(se3_np.log(
+            se3_np.inverse(Z_loop) @ se3_np.inverse(T_last) @ T_first
+        ))
+
+    assert loop_gap(np.asarray(adapt.poses)) < 0.3 * loop_gap(
+        np.asarray(fixed.poses)
+    )
