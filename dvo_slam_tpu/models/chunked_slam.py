@@ -157,10 +157,8 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         if pend_val is not None:
             fetch = fetch + (pend_val.handles,)
         if self._poses_stale:
-            host = jax.device_get(
-                fetch + ((self._pending_poses, self._pending_weights),)
-            )
-            self._apply_poses(*host[-1])
+            host = jax.device_get(fetch + (self._pending_poses,))
+            self._apply_poses(host[-1])
             host = host[:-1]
         else:
             host = jax.device_get(fetch)

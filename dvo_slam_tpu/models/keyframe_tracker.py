@@ -178,7 +178,6 @@ class KeyframeSlam:
             pose_graph.empty_graph(slam_cfg.max_keyframes, slam_cfg.max_edges)
         )
         self._pending_poses = None  # device handle of the in-flight solve
-        self._pending_weights = None  # its per-edge robust weights
         self.kf_poses: List[np.ndarray] = []  # world <- keyframe, f64 host mirror
         self.keyframes: List[Keyframe] = []
         self.frames: List[FrameRecord] = []
@@ -658,7 +657,7 @@ class KeyframeSlam:
         # adding, and adds precede this dispatch).
         self._sync_poses()
         view = self._solve_view()
-        g_opt, chi2, weights = pose_graph.optimize(
+        g_opt, chi2, _ = pose_graph.optimize(
             view,
             iterations=iterations,
             use_robust=self.slam_cfg.use_robust_kernel,
@@ -675,12 +674,6 @@ class KeyframeSlam:
             solver=self._solver_for(view),
         )
         self._pending_poses = g_opt.poses  # device; fetched lazily
-        # Per-edge robust weights ride the same lazy fetch: per-insertion
-        # outlier pruning (reference OptimizationRemoveOutliers) masks
-        # collapsed loop edges when the solve is consumed.
-        self._pending_weights = (
-            weights if self.slam_cfg.remove_outliers else None
-        )
         self._poses_stale = True
 
     def _solve_view(self) -> pose_graph.PoseGraph:
@@ -706,16 +699,13 @@ class KeyframeSlam:
         """Blocking fetch of the device-optimized poses into kf_poses."""
         if not self._poses_stale:
             return
-        poses, weights = jax.device_get(
-            (self._pending_poses, self._pending_weights)
-        )
-        self._apply_poses(poses, weights)
+        self._apply_poses(jax.device_get(self._pending_poses))
 
-    def _apply_poses(self, poses: np.ndarray, weights=None):
+    def _apply_poses(self, poses: np.ndarray):
         """Mirror already-fetched optimized poses into kf_poses and the
         host graph (callers that piggyback the pose fetch onto another
-        transfer). `weights` (per-edge robust weights of the consumed
-        solve, same fetch) triggers per-insertion outlier pruning."""
+        transfer), then run per-insertion outlier pruning on the updated
+        poses."""
         poses = np.asarray(poses, np.float64)
         n = min(len(poses), self.graph.poses.shape[0])
         self.graph.poses[:n] = poses[:n].astype(np.float32)
@@ -723,49 +713,70 @@ class KeyframeSlam:
             self.kf_poses[k] = se3_np.renormalize(poses[k])
         self._poses_stale = False
         self._pending_poses = None
-        self._pending_weights = None
         self._pose_fetches += 1
-        if weights is not None and self.slam_cfg.remove_outliers:
+        if self.slam_cfg.remove_outliers:
             # Reference interleaved pruning (SURVEY.md §3.4 "optional
             # outlier-edge pruning ... re-optimize"): a validated-but-bad
-            # edge whose robust weight collapsed in the consumed solve is
-            # masked NOW, and one re-solve is dispatched so it stops
-            # poisoning every interleaved solve until finish().
-            if self._mask_outlier_edges(np.asarray(weights)):
+            # edge is masked when the solve is consumed, and one re-solve
+            # is dispatched so it stops poisoning every interleaved solve
+            # until finish().
+            if self._mask_outlier_edges():
                 self._optimize(self.slam_cfg.optimization_iterations)
 
-    def _mask_outlier_edges(self, w: np.ndarray) -> int:
-        """Mask non-consecutive (loop) edges with collapsed robust weight
-        (reference OptimizationRemoveOutliers + OutlierWeightThreshold).
-        Returns the number of edges dropped."""
-        mask = self.graph.edge_mask  # host array: edit in place
-        ei = self.graph.edge_i
-        ej = self.graph.edge_j
+    def _mask_outlier_edges(self) -> int:
+        """Mask outlier loop edges (reference OptimizationRemoveOutliers +
+        OutlierWeightThreshold), judged by chi^2 computed on the host
+        graph at the just-applied poses. Returns the number dropped.
+
+        The threshold is POPULATION-RELATIVE, not the raw robust weight:
+        tracker information scales with pixel count, so at the optimum of
+        a perfectly CONSISTENT full-res graph every loop edge still sits
+        at chi^2 in the thousands (measured: 600-11k on the noiseless
+        bench ring) — a fixed weight cutoff at cauchy_c prunes them all.
+        An edge is an outlier when it is grossly worse than the best the
+        graph demonstrably achieves: chi^2 > f * max(cauchy_c^2, best
+        OTHER loop edge's chi^2), with f = (1/T - 1)^2 from the
+        configured weight threshold T. Leave-one-out keeps a lone bad
+        edge from vouching for itself (it is then judged against
+        cauchy_c^2 alone — the reference's absolute semantics)."""
+        g = self.graph
+        T = self.slam_cfg.outlier_weight_threshold
+        factor = (1.0 / T - 1.0) ** 2
+        c2 = self.slam_cfg.cauchy_c ** 2
+        loops = []
+        for e in range(int(g.num_edges)):
+            if not g.edge_mask[e]:
+                continue
+            i, j = int(g.edge_i[e]), int(g.edge_j[e])
+            if abs(j - i) == 1:
+                continue  # odometry edges are never pruned
+            T_i = np.asarray(g.poses[i], np.float64)
+            T_j = np.asarray(g.poses[j], np.float64)
+            Z = np.asarray(g.measurements[e], np.float64)
+            r = se3_np.log(se3_np.inverse(Z) @ se3_np.inverse(T_i) @ T_j)
+            info = np.asarray(g.information[e], np.float64)
+            loops.append((e, float(r @ info @ r)))
+        if not loops:
+            return 0
+        chis = sorted(x for _, x in loops)
         dropped = 0
-        # Edges inserted AFTER the solve was dispatched have no weight in
-        # this (cropped) result — they are judged by the next solve.
-        for e in range(min(int(self.graph.num_edges), len(w))):
-            consecutive = abs(int(ej[e]) - int(ei[e])) == 1
-            if (mask[e] and not consecutive
-                    and w[e] < self.slam_cfg.outlier_weight_threshold):
-                mask[e] = False
+        for e, chi in loops:
+            if len(chis) >= 2:
+                others_min = chis[1] if chi == chis[0] else chis[0]
+            else:
+                others_min = 0.0
+            if chi > factor * max(c2, others_min):
+                g.edge_mask[e] = False
                 dropped += 1
         return dropped
 
     def _prune_outlier_edges(self):
         """Final-pass pruning before finish()'s long solve (reference
         OptimizationRemoveOutliers; the per-insertion path in _apply_poses
-        usually got there first)."""
-        self._sync_poses()  # weights must reflect the latest solve
-        view = self._solve_view()
-        _, _, weights = pose_graph.optimize(
-            view,
-            iterations=1,
-            use_robust=self.slam_cfg.use_robust_kernel,
-            cauchy_c=self.slam_cfg.cauchy_c,
-            solver=self._solver_for(view),
-        )
-        self._mask_outlier_edges(np.asarray(weights))
+        usually got there first). Host chi^2 at the latest solved poses —
+        no extra device dispatch."""
+        self._sync_poses()
+        self._mask_outlier_edges()
 
 
 def _stats_record(stats, iterations, b):
