@@ -82,6 +82,10 @@ def main():
                     help="override tdist_scale_warm_iters")
     ap.add_argument("--rows-tile", type=int, default=None,
                     help="override pallas_rows_per_tile")
+    ap.add_argument("--gradient-source", default=None,
+                    choices=["current", "reference"],
+                    help="Jacobian gradient source (reference-frame "
+                    "gradients sample 2.3x fewer channels per iteration)")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +107,8 @@ def main():
         kw["tdist_scale_warm_iters"] = args.scale_warm
     if args.rows_tile is not None:
         kw["pallas_rows_per_tile"] = args.rows_tile
+    if args.gradient_source is not None:
+        kw["gradient_source"] = args.gradient_source
     cfg = TrackerConfig(sampler_backend="pallas" if on_tpu else "gather", **kw)
     K_t = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), cfg.num_levels)

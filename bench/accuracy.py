@@ -59,6 +59,12 @@ def main():
     ap.add_argument("--chunked-gate-size", type=int, default=16,
                     help="chunk size for the default chunked-slam gate "
                          "(0 disables the extra run)")
+    ap.add_argument("--gradient-source", default=None,
+                    choices=["current", "reference"],
+                    help="Jacobian gradient source (see TrackerConfig); "
+                         "'reference' is the 2.3x-fewer-sampled-channels "
+                         "fast mode — run this harness with it to verify "
+                         "accuracy parity at full scale")
     ap.add_argument("--calib-error", type=float, default=0.0,
                     help="relative focal-length miscalibration used for "
                          "tracking (renders use the true K). NOTE: a "
@@ -119,6 +125,8 @@ def main():
     kw = {}
     if args.margin is not None:
         kw["pallas_margin"] = args.margin
+    if args.gradient_source is not None:
+        kw["gradient_source"] = args.gradient_source
     tracker_cfg = TrackerConfig(
         sampler_backend="pallas" if on_tpu else "gather", **kw
     )

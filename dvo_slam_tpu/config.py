@@ -136,6 +136,26 @@ class TrackerConfig:
     # f32, ~3x slower sampling).
     pallas_precision: str = "default"
 
+    # Image-gradient source for the Jacobian (SURVEY.md §4.2):
+    #   "current"   — sample grad I2 / grad Z2 bilinearly at the warped
+    #                 coords every IRLS iteration (the reference's exact
+    #                 formulation: dense_tracking_impl.cpp packs current-
+    #                 frame gradients into the acceleration structure).
+    #   "reference" — use the reference frame's precomputed gradients at
+    #                 the selected pixels, constant across the level's
+    #                 iterations. Near convergence I2(x') == I1(x), so the
+    #                 gradients agree to first order (the classic
+    #                 LK/ESM-style approximation); the per-iteration
+    #                 bilinear sample shrinks from 6+mask to I,Z+mask
+    #                 channels, cutting the one-hot sampling matmul — the
+    #                 dominant cost of every IRLS iteration — ~2.3x.
+    #                 Equivalent on the synthetic-warp recovery tests;
+    #                 passes every full-scale accuracy-harness gate with
+    #                 a modest ATE cost on the heavy-noise torture run
+    #                 (10.4 mm slam vs 7.1 mm exact; odometry 24.9 vs
+    #                 23.3 mm) — a speed/accuracy knob, default off.
+    gradient_source: str = "current"
+
     # Levenberg-Marquardt damping. 0 disables (pure Gauss-Newton with
     # error-increase rollback, the reference behaviour); >0 enables the
     # adaptive-lambda LM loop (BASELINE.json config #3).
@@ -155,6 +175,11 @@ class TrackerConfig:
             raise ValueError(
                 f"unknown pallas precision {self.pallas_precision!r} "
                 "(expected 'default' or 'highest')"
+            )
+        if self.gradient_source not in ("current", "reference"):
+            raise ValueError(
+                f"unknown gradient source {self.gradient_source!r} "
+                "(expected 'current' or 'reference')"
             )
         if not (0 <= self.last_level <= self.first_level < self.num_levels):
             raise ValueError(

@@ -330,16 +330,27 @@ def track(ref_pyr, cur_pyr, Ks, T_init, cfg: TrackerConfig,
         # bf16 slab storage halves the window DMA traffic and is lossless
         # at DEFAULT matmul precision (see slab_to_cmajor).
         dt = jnp.bfloat16 if cfg.pallas_precision == "default" else None
-        # Photometric-only mode: depth holes must not invalidate points
-        # (the gather path's validity no longer checks depth either).
-        from dvo_slam_tpu.ops import pyramid as pyr_mod
+        if cfg.gradient_source == "reference":
+            # Constant-reference-gradient mode samples only [I] / [I, Z]:
+            # the kernel slab carries just those channels (+ the mask over
+            # all of them — exactly the per-point validity requirement).
+            n_smp = 2 if cfg.use_depth else 1
+            for lvl in levels:
+                cmajors[lvl] = pallas_sampler.slab_to_cmajor(
+                    cur_pyr[lvl][:n_smp], dtype=dt
+                )
+        else:
+            # Photometric-only mode: depth holes must not invalidate
+            # points (the gather path's validity no longer checks depth
+            # either).
+            from dvo_slam_tpu.ops import pyramid as pyr_mod
 
-        mc = (None if cfg.use_depth
-              else (pyr_mod.CH_I, pyr_mod.CH_IDX, pyr_mod.CH_IDY))
-        for lvl in levels:
-            cmajors[lvl] = pallas_sampler.slab_to_cmajor(
-                cur_pyr[lvl], dtype=dt, mask_channels=mc
-            )
+            mc = (None if cfg.use_depth
+                  else (pyr_mod.CH_I, pyr_mod.CH_IDX, pyr_mod.CH_IDY))
+            for lvl in levels:
+                cmajors[lvl] = pallas_sampler.slab_to_cmajor(
+                    cur_pyr[lvl], dtype=dt, mask_channels=mc
+                )
 
     fin = None
     per_iter = []

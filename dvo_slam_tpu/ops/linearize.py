@@ -35,13 +35,21 @@ _EPS = 1e-12
 
 
 class RefData(NamedTuple):
-    """Per-level reference-frame arrays (all (N,), channel-major)."""
+    """Per-level reference-frame arrays (all (N,), channel-major).
+
+    The gradient planes are populated only for
+    cfg.gradient_source == "reference" (constant-Jacobian-gradient mode);
+    they are None otherwise so "current"-mode carries stay lean."""
 
     px: jnp.ndarray
     py: jnp.ndarray
     pz: jnp.ndarray
     i1: jnp.ndarray
     selected: jnp.ndarray  # bool
+    gix: Optional[jnp.ndarray] = None
+    giy: Optional[jnp.ndarray] = None
+    gzx: Optional[jnp.ndarray] = None
+    gzy: Optional[jnp.ndarray] = None
 
 
 class Linearization(NamedTuple):
@@ -85,10 +93,26 @@ def prepare_reference(ref_slab, K, cfg: TrackerConfig, row_offset=0) -> RefData:
             ref_slab[pyr.CH_ZDY].reshape(-1),
         )
         selected &= jnp.isfinite(gz) & (gz >= cfg.depth_grad_threshold)
+    grads = {}
+    if cfg.gradient_source == "reference":
+        gix = ref_slab[pyr.CH_IDX].reshape(-1)
+        giy = ref_slab[pyr.CH_IDY].reshape(-1)
+        grads["gix"] = jnp.where(jnp.isfinite(gix), gix, 0.0)
+        grads["giy"] = jnp.where(jnp.isfinite(giy), giy, 0.0)
+        if cfg.use_depth:
+            # The depth-residual Jacobian needs finite depth gradients; in
+            # "current" mode that check runs on the SAMPLED gradients per
+            # iteration — here the gradients are reference-side constants,
+            # so the finiteness requirement folds into point selection.
+            gzx = ref_slab[pyr.CH_ZDX].reshape(-1)
+            gzy = ref_slab[pyr.CH_ZDY].reshape(-1)
+            selected &= jnp.isfinite(gzx) & jnp.isfinite(gzy)
+            grads["gzx"] = jnp.where(jnp.isfinite(gzx), gzx, 0.0)
+            grads["gzy"] = jnp.where(jnp.isfinite(gzy), gzy, 0.0)
     z_safe = jnp.where(selected, z, 1.0)
     px = (u - cx) / fx * z_safe
     py = (v - cy) / fy * z_safe
-    return RefData(px=px, py=py, pz=z_safe, i1=i1, selected=selected)
+    return RefData(px=px, py=py, pz=z_safe, i1=i1, selected=selected, **grads)
 
 
 def _psum(x, axis_name):
@@ -160,6 +184,11 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     v = fy * Y * zi + cy
 
     # --- bilinear sample of the packed slab ---
+    # "reference" gradient mode samples only [I] / [I, Z] (+ the mask
+    # channel) — the Jacobian's gradient terms come from RefData instead,
+    # so the per-iteration one-hot matmul shrinks with the channel count.
+    ref_grad = cfg.gradient_source == "reference"
+    n_smp = ((2 if cfg.use_depth else 1) if ref_grad else C)
     if cfg.sampler_backend == "pallas":
         from dvo_slam_tpu.ops.pallas import sampler as pallas_sampler
 
@@ -178,23 +207,30 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
         ]
         rpt = max(candidates) if candidates else Hr
         smp_cm, inb, win_miss = pallas_sampler.sample_slab(
-            cur_cmajor, u, v, height=H, width=W, channels=C,
+            cur_cmajor, u, v, height=H, width=W, channels=n_smp,
             rows_per_tile=rpt,
             margin=cfg.pallas_margin,
             precision=prec,
             interpret=(jax.devices()[0].platform != "tpu"),
         )
-        chans = tuple(smp_cm[c] for c in range(C))
+        chans = tuple(smp_cm[c] for c in range(n_smp))
     else:
-        chans, inb = _sample_gather(cur_slab, u, v)
+        chans, inb = _sample_gather(cur_slab[:n_smp], u, v)
         win_miss = None
 
     i2 = chans[pyr.CH_I]
-    z2 = chans[pyr.CH_Z]
-    gix = chans[pyr.CH_IDX]
-    giy = chans[pyr.CH_IDY]
-    gzx = chans[pyr.CH_ZDX]
-    gzy = chans[pyr.CH_ZDY]
+    z2 = (chans[pyr.CH_Z] if cfg.use_depth or not ref_grad
+          else jnp.zeros_like(i2))
+    if ref_grad:
+        gix, giy = ref.gix, ref.giy
+        zero_g = jnp.zeros_like(i2)
+        gzx = ref.gzx if cfg.use_depth else zero_g
+        gzy = ref.gzy if cfg.use_depth else zero_g
+    else:
+        gix = chans[pyr.CH_IDX]
+        giy = chans[pyr.CH_IDY]
+        gzx = chans[pyr.CH_ZDX]
+        gzy = chans[pyr.CH_ZDY]
 
     # --- residuals + validity ---
     rI = i2 - ref.i1
@@ -203,7 +239,9 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
     if cfg.use_depth:
         # Photometric-only tracking must NOT require finite current-frame
         # depth: pixels warping onto depth holes are exactly the ones the
-        # intensity-only mode exists to keep.
+        # intensity-only mode exists to keep. (In "reference" gradient
+        # mode the gradient-finiteness requirement already folded into
+        # point selection at prepare_reference.)
         valid &= jnp.isfinite(rZ) & jnp.isfinite(gzx) & jnp.isfinite(gzy)
     vF = valid.astype(dtype)
     rI = jnp.where(valid, rI, 0.0)

@@ -263,7 +263,8 @@ def slab_to_cmajor(slab, dtype=None, mask_channels=None):
     semantics without NaNs ever entering the MXU.
     """
     C, H, W = slab.shape
-    mask_src = slab if mask_channels is None else slab[list(mask_channels)]
+    mask_src = (slab if mask_channels is None
+                else slab[jnp.asarray(mask_channels)])
     finite = jnp.isfinite(mask_src).all(axis=0).astype(slab.dtype)
     slab = jnp.concatenate(
         [jnp.where(jnp.isfinite(slab), slab, 0.0), finite[None]], axis=0

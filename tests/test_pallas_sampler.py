@@ -151,6 +151,45 @@ def test_tracker_pallas_backend_matches_gather():
     assert abs(float(rp.valid_pixels) - float(rg.valid_pixels)) <= 2
 
 
+def test_tracker_pallas_reference_gradients_matches_gather():
+    """gradient_source="reference" with the pallas sampler (the 2-channel
+    [I, Z]+mask slab fast path) must agree with the gather backend in the
+    same mode."""
+    from dvo_slam_tpu.models import dense_tracker
+
+    Wi, Hi = 64, 32
+    K_t = (40.0, 40.0, (Wi - 1) / 2, (Hi - 1) / 2)
+    scene = synthetic.two_plane_scene()
+    xi = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.005])
+    T_rel = se3_np.exp(xi)
+    i0, z0 = scene.render(np.asarray(K_t), Wi, Hi, np.eye(4))
+    i1, z1 = scene.render(np.asarray(K_t), Wi, Hi, se3_np.inverse(T_rel))
+    rng = np.random.default_rng(3)
+    z0[rng.random(z0.shape) < 0.03] = np.nan
+    z1[rng.random(z1.shape) < 0.03] = np.nan
+    Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), 2)
+    ref = pyramid.build_pyramid(jnp.asarray(i0), jnp.asarray(z0), 2)
+    cur = pyramid.build_pyramid(jnp.asarray(i1), jnp.asarray(z1), 2)
+
+    cfg_g = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                          max_iterations=15, gradient_source="reference")
+    cfg_p = dataclasses.replace(
+        cfg_g, sampler_backend="pallas", pallas_precision="highest",
+        pallas_rows_per_tile=2,
+    )
+    rg = dense_tracker.track_jit(ref, cur, Ks, jnp.eye(4), cfg_g)
+    rp = dense_tracker.track_jit(ref, cur, Ks, jnp.eye(4), cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(rp.transformation), np.asarray(rg.transformation), atol=1e-5
+    )
+    assert abs(float(rp.valid_pixels) - float(rg.valid_pixels)) <= 2
+    # And it really converged to the truth.
+    err = np.linalg.norm(se3_np.log(
+        np.asarray(rp.transformation, np.float64) @ se3_np.inverse(T_rel)
+    ))
+    assert err < 2e-3, f"pose error {err}"
+
+
 def test_violent_motion_escalates_to_gather():
     """fr1-class angular velocity between frames pushes warped rows past a
     small pallas window: the tracker must REPORT the masking

@@ -335,6 +335,45 @@ def test_scale_warm_start_matches_cold():
                                rtol=1e-3, atol=1e-6)
 
 
+def test_reference_gradient_mode_converges_like_current():
+    """gradient_source="reference" (constant LK-style Jacobian gradients;
+    samples 2.3x fewer channels per IRLS iteration) must recover the same
+    pose as the exact current-frame-gradient formulation, in both the
+    bivariate and photometric-only modes."""
+    import dataclasses
+
+    xi = np.array([0.02, -0.015, 0.01, 0.01, -0.008, 0.012])
+    ref, cur, T_true = _render_pair(xi)
+    for use_depth in (True, False):
+        cfg_cur = TrackerConfig(num_levels=3, first_level=2, last_level=0,
+                                use_depth=use_depth, max_iterations=50)
+        cfg_ref = dataclasses.replace(cfg_cur, gradient_source="reference")
+        err_c = _pose_error(_track(ref, cur, cfg_cur).transformation, T_true)
+        err_r = _pose_error(_track(ref, cur, cfg_ref).transformation, T_true)
+        assert err_r < 2e-3, f"use_depth={use_depth}: pose error {err_r}"
+        # No systematic degradation vs the exact mode on a clean pair.
+        assert err_r < err_c + 1e-3, (err_r, err_c)
+
+
+def test_reference_gradient_mode_keeps_depth_holes():
+    """Photometric-only + reference gradients: current-frame depth holes
+    must still not invalidate points (the 1-channel sampled slab masks on
+    intensity only)."""
+    import dataclasses
+
+    xi = np.array([0.008, -0.004, 0.006, 0.003, -0.002, 0.004])
+    ref, cur, T_true = _render_pair(xi)
+    z_holed = cur[1].copy()
+    z_holed[10:40, 20:60] = np.nan
+    cfg = TrackerConfig(num_levels=2, first_level=1, last_level=0,
+                        max_iterations=30, use_depth=False,
+                        gradient_source="reference")
+    res_holed = _track(ref, (cur[0], z_holed), cfg)
+    res_full = _track(ref, cur, cfg)
+    assert float(res_holed.valid_pixels) > 0.9 * float(res_full.valid_pixels)
+    assert _pose_error(res_holed.transformation, T_true) < 1e-3
+
+
 def test_photometric_only_ignores_depth_holes():
     """use_depth=False must keep photometrically valid pixels whose
     CURRENT-frame depth is invalid (depth holes are the reason to disable
