@@ -151,6 +151,15 @@ def main():
     run_variant("sample+warp only", make_cfg(), mode="sample_only")
     run_variant("sample+warp only (ref grads)",
                 make_cfg(gradient_source="reference"), mode="sample_only")
+    # Fewer sampled channels shrink the per-band matmul, so the grid-step
+    # count (≈ per-band fixed overhead) may become the binding constraint:
+    # sweep the band size in both modes.
+    for rpt in (4, 16, 24):
+        for gs in ("current", "reference"):
+            run_variant(f"sample only rpt={rpt} ({gs[:3]} grads)",
+                        make_cfg(pallas_rows_per_tile=rpt,
+                                 gradient_source=gs),
+                        mode="sample_only")
 
 
 if __name__ == "__main__":
