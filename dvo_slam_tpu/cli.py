@@ -244,8 +244,16 @@ def main(argv=None):
             rpe_t, rpe_r = evaluate.rpe(
                 e, g, delta=args.rpe_delta, timestamps=ts, per_second=True
             )
-            unit = "m_per_s"
+            # Like evaluate_rpe.py, the value is the raw error over one
+            # delta-second interval (m/s exactly when delta == 1 s, the
+            # published protocol) — never silently mislabel other deltas.
+            unit = ("m_per_s" if args.rpe_delta == 1.0
+                    else f"m_per_{args.rpe_delta:g}s")
         else:
+            if args.rpe_delta != int(args.rpe_delta):
+                print("error: --rpe-delta must be an integer frame offset "
+                      "unless --rpe-seconds is given", file=sys.stderr)
+                return 2
             rpe_t, rpe_r = evaluate.rpe(e, g, delta=int(args.rpe_delta))
             unit = "m"
         print(f"ate_rmse_m {ate:.6f}")

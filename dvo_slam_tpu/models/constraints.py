@@ -201,6 +201,7 @@ def collect_validation(
     pending: Optional[PendingValidation],
     keyframe_entropies,
     slam_cfg: SlamConfig,
+    wmiss_threshold: float = 0.02,
 ) -> List[AcceptedConstraint]:
     """Fetch dispatched validation batches (one transfer) and apply the
     voters on host. keyframe_entropies is read at COLLECT time, matching
@@ -209,7 +210,7 @@ def collect_validation(
         return []
     return vote_validation(
         pending.chunks, jax.device_get(pending.handles),
-        keyframe_entropies, slam_cfg,
+        keyframe_entropies, slam_cfg, wmiss_threshold,
     )
 
 
@@ -218,9 +219,16 @@ def vote_validation(
     host_results: List[dict],
     keyframe_entropies,
     slam_cfg: SlamConfig,
+    wmiss_threshold: float = 0.02,
 ) -> List[AcceptedConstraint]:
     """Voter logic on ALREADY-FETCHED batch results (callers that combine
-    the validation fetch with other per-switch transfers)."""
+    the validation fetch with other per-switch transfers).
+
+    wmiss_threshold: reject a candidate whose fine re-track lost more
+    than this fraction of points to the pallas row window (callers pass
+    the fine tracker's pallas_miss_escalate so the voter follows the
+    configured escalation sensitivity; <= 0 disables the vote, matching
+    the knob's "0 disables" semantics)."""
     accepted: List[AcceptedConstraint] = []
     for chunk, r in zip(chunks, host_results):
         for k, c in enumerate(chunk):
@@ -247,7 +255,7 @@ def vote_validation(
             # --- stage 2 voters (fine re-track seeded by the coarse pose) ---
             if bool(r["fine_nan"][k]):
                 continue
-            if float(r["fine_wmiss"][k]) > 0.02:
+            if wmiss_threshold > 0 and float(r["fine_wmiss"][k]) > wmiss_threshold:
                 continue  # window-masked fine measurement: reject, not trust
             ratio = _entropy_ratio(
                 float(r["fine_H"][k]), keyframe_entropies[c.keyframe_idx]
@@ -312,4 +320,5 @@ def validate_candidates(
         candidates, keyframe_pyramids, new_pyramid, Ks,
         coarse_cfg, fine_cfg, slam_cfg,
     )
-    return collect_validation(pending, keyframe_entropies, slam_cfg)
+    return collect_validation(pending, keyframe_entropies, slam_cfg,
+                              fine_cfg.pallas_miss_escalate)

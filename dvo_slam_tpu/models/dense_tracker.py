@@ -89,8 +89,11 @@ class TrackResult(NamedTuple):
     # accepted linearization (pallas sampler only; 0 on gather) and
     # whether an orchestrator escalated this result to the gather backend
     # (track_batched_escalating).
-    window_miss_frac: jnp.ndarray = jnp.float32(0.0)
-    escalated: jnp.ndarray = jnp.asarray(False)
+    # Defaults are numpy scalars, NOT device arrays: a jnp.asarray here
+    # would initialize the JAX backend at import time (pinning the
+    # platform before callers can configure it).
+    window_miss_frac: jnp.ndarray = np.float32(0.0)
+    escalated: jnp.ndarray = np.bool_(False)
 
     def is_nan(self):
         """Reference Result::isNaN — NaN guard used by acceptance voters.

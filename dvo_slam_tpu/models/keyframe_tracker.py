@@ -604,6 +604,7 @@ class KeyframeSlam:
         accepted = constraints.vote_validation(
             pending.chunks, host_results,
             [k.entropy_avg for k in self.keyframes], self.slam_cfg,
+            self.fine_cfg.pallas_miss_escalate,
         )
         for a in accepted:
             self._add_edge(a.keyframe_idx, a.new_idx, a.measurement,
@@ -736,9 +737,22 @@ class KeyframeSlam:
         An edge is an outlier when it is grossly worse than the best the
         graph demonstrably achieves: chi^2 > f * max(cauchy_c^2, best
         OTHER loop edge's chi^2), with f = (1/T - 1)^2 from the
-        configured weight threshold T. Leave-one-out keeps a lone bad
-        edge from vouching for itself (it is then judged against
-        cauchy_c^2 alone — the reference's absolute semantics)."""
+        configured weight threshold T. NOTE this f is a DELIBERATE
+        deviation from the reference's raw weight-threshold semantics
+        (Cauchy w = 1/(1 + chi^2/c^2) < T <=> chi^2 > c^2 (1/T - 1), i.e.
+        the unsquared factor): dense-tracker information is overconfident
+        by a resolution-dependent factor (correlated pixels), so a
+        perfectly consistent edge's chi^2 lands anywhere from O(10) at
+        64x48 to O(10^4) at 640x480 and the literal w < T test prunes
+        correct edges at every scale (measured: the reduced-scale ATE
+        gate fails with the unsquared factor because mid-range correct
+        edges exceed it whenever the best edge fits very well). Squaring
+        widens both the floor and the population band by the same 1/T
+        ratio — "one threshold-width worse than the best demonstrated",
+        scale-free. Leave-one-out keeps a lone bad edge from vouching
+        for itself (a lone edge is judged against the f*c^2 floor
+        alone). Listed in docs/fr1_desk_protocol.md as a semantic
+        deviation to re-verify against the real reference."""
         g = self.graph
         T = self.slam_cfg.outlier_weight_threshold
         factor = (1.0 / T - 1.0) ** 2

@@ -127,7 +127,10 @@ class LocalMap:
                 Z.append(se3_np.inverse(np.asarray(T, np.float64)))
                 info.append(np.asarray(L, np.float64))
         if not ei:
-            return list(self.estimates)
+            # No measurements to solve against: the window is trivial.
+            # None (not the estimates list!) — callers treat any non-None
+            # return as a device poses handle for refined_from.
+            return None
 
         E = len(ei)
         cap_e = 2 * cap

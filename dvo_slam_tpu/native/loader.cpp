@@ -277,13 +277,14 @@ struct Loader {
       Frame f;
       f.index = int(next_decode);
       const size_t n = size_t(width) * height;
-      f.intensity.resize(n);
-      f.depth.resize(n);
       std::string err1, err2;
-      // Exceptions (bad_alloc under memory pressure) must not escape the
-      // decode thread: std::terminate would take the whole process down
-      // on one bad frame. Failed frames are skipped like decode errors.
+      // Exceptions (bad_alloc under memory pressure — including from the
+      // frame-buffer resizes) must not escape the decode thread:
+      // std::terminate would take the whole process down on one bad
+      // frame. Failed frames are skipped like decode errors.
       try {
+        f.intensity.resize(n);
+        f.depth.resize(n);
         bool ok1 = decode_intensity(rgb_paths[next_decode].c_str(),
                                     f.intensity.data(), width, height, err1);
         bool ok2 = decode_depth(depth_paths[next_decode].c_str(),

@@ -219,6 +219,10 @@ class SlamNode:
         bad = self._FROZEN_SLAM & set(slam_fields)
         if bad:
             return {"error": f"cannot change {sorted(bad)} mid-run"}
+        # Build EVERY replacement config before assigning any: a validation
+        # error in a derived config (e.g. slam coarse levels that violate
+        # TrackerConfig invariants) must leave the live engine untouched —
+        # an error reply and a silently-retuned engine must never coexist.
         try:
             if self.mode == "odometry":
                 new = dataclasses.replace(self.engine.cfg, **tracker_fields)
@@ -228,18 +232,15 @@ class SlamNode:
                                       **tracker_fields)
             new_slam = dataclasses.replace(self.engine.slam_cfg,
                                            **slam_fields)
-            self.engine.tracker_cfg = new
-            self.engine.fine_cfg = new
-            self.engine.coarse_cfg = dataclasses.replace(
+            new_coarse = dataclasses.replace(
                 self.engine.coarse_cfg,
                 **{k: v for k, v in tracker_fields.items()
                    if k != "max_iterations"},
             )
-            self.engine.slam_cfg = new_slam
             if slam_fields:
                 # The coarse validation tracker derives from slam fields.
-                self.engine.coarse_cfg = dataclasses.replace(
-                    self.engine.coarse_cfg,
+                new_coarse = dataclasses.replace(
+                    new_coarse,
                     first_level=min(new_slam.coarse_first_level,
                                     new.num_levels - 1),
                     last_level=min(new_slam.coarse_last_level,
@@ -248,6 +249,10 @@ class SlamNode:
                 )
         except (TypeError, ValueError) as e:
             return {"error": str(e)}
+        self.engine.tracker_cfg = new
+        self.engine.fine_cfg = new
+        self.engine.coarse_cfg = new_coarse
+        self.engine.slam_cfg = new_slam
         return {"tracker": dataclasses.asdict(new),
                 "slam": dataclasses.asdict(new_slam)}
 

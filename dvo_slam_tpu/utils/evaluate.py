@@ -67,8 +67,10 @@ def rpe(estimated, groundtruth, delta=1, timestamps=None, per_second=False,
     closest to t_i + delta, and at most `max_pairs` pairs are used
     (random downsampling with a fixed seed, matching the tool's
     max_pairs behaviour deterministically). Requires `timestamps`.
-    The result is then translational drift in m/s / rotational drift in
-    rad/s — the numbers published for the reference (IROS13 tables).
+    The result is the raw error over one `delta`-second interval — NOT
+    divided by delta, matching evaluate_rpe.py. At the published
+    protocol's delta = 1 s it therefore reads directly as translational
+    drift in m/s / rotational drift in rad/s (IROS13 tables).
 
     Returns (trans_rmse, rot_rmse).
     """

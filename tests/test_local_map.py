@@ -113,3 +113,22 @@ def test_slam_local_map_improves_noisy_trajectory():
     ate_off = run(False)
     assert ate_on <= ate_off * 1.05, (ate_on, ate_off)
     assert ate_on < 0.01, f"ATE with local map {ate_on*1000:.2f} mm"
+
+
+def test_measurementless_window_is_trivial_not_a_handle():
+    """A window whose frames carry NO accepted measurements must fall back
+    to the fused estimates: optimize_async returns None (never the
+    estimates list — callers treat any non-None return as a device poses
+    handle for refined_from, which would crash / produce garbage)."""
+    lm = LocalMap(capacity=16)
+    rng = np.random.default_rng(7)
+    ests = []
+    for i in range(3):
+        T = se3_np.exp(rng.normal(scale=0.02, size=6))
+        ests.append(T)
+        lm.add_frame(i, T, None, None)
+    assert lm.optimize_async() is None
+    refined = lm.optimize()
+    assert len(refined) == 3
+    for r, e in zip(refined, ests):
+        np.testing.assert_allclose(r, e)

@@ -287,6 +287,19 @@ def test_live_slam_reconfigure_and_clouds(tmp_path):
     bad = client.configure(slam={"max_keyframes": 64})
     assert "error" in bad
 
+    # Atomicity: a reply-level error must leave the engine UNTOUCHED even
+    # when only a DERIVED config is invalid (valid tracker fields + slam
+    # coarse levels violating TrackerConfig invariants) — an error reply
+    # and a silently-retuned engine must never coexist.
+    bad = client.configure(
+        max_iterations=40,
+        slam={"coarse_first_level": 0, "coarse_last_level": 1},
+    )
+    assert "error" in bad
+    check = client.configure()  # no-op reconfigure reads back the state
+    assert check["tracker"]["max_iterations"] == 12
+    assert check["slam"]["coarse_first_level"] != 0
+
     for i in range(1, 5):
         msg = client.send_frame(i / 30.0, *frames[i])
         assert ("cloud" in msg) == bool(msg["keyframe"])
