@@ -65,6 +65,12 @@ def main():
                          "'reference' is the 2.3x-fewer-sampled-channels "
                          "fast mode — run this harness with it to verify "
                          "accuracy parity at full scale")
+    ap.add_argument("--trajectory", default="orbit",
+                    choices=["orbit", "figure8"],
+                    help="camera path: 'orbit' (same-heading revisits) or "
+                         "'figure8' (two lobes, center crossed twice per "
+                         "cycle at different headings — the harder "
+                         "loop-closure geometry)")
     ap.add_argument("--calib-error", type=float, default=0.0,
                     help="relative focal-length miscalibration used for "
                          "tracking (renders use the true K). NOTE: a "
@@ -97,8 +103,12 @@ def main():
     # fires like it does on real handheld motion.
     # Two traversals of the loop: revisits (loop-closure opportunities)
     # happen throughout the second half, like a real exploration sequence.
-    poses = synthetic.orbit_trajectory(args.frames, radius=args.radius,
-                                       yaw_amplitude=0.6, cycles=2.0)
+    if args.trajectory == "figure8":
+        poses = synthetic.figure8_trajectory(args.frames, radius=args.radius,
+                                             yaw_amplitude=0.6, cycles=2.0)
+    else:
+        poses = synthetic.orbit_trajectory(args.frames, radius=args.radius,
+                                           yaw_amplitude=0.6, cycles=2.0)
     # Heavy Kinect-style corruption (vs the defaults the unit tests use):
     # weak texture + strong intensity/depth noise + 25% depth dropout make
     # per-frame estimates a genuine random walk, so odometry DRIFTS at the
@@ -164,7 +174,9 @@ def main():
     ate_slam = results["slam"].ate_rmse_m
     ate_odo = results["keyframe"].ate_rmse_m
     verdict = {
-        "metric": f"synthetic_loop_ate_{W}x{H}_{args.frames}f",
+        "metric": (f"synthetic_loop_ate_{W}x{H}_{args.frames}f"
+                   + ("" if args.trajectory == "orbit"
+                      else f"_{args.trajectory}")),
         "ate_slam_m": round(ate_slam, 6),
         "ate_keyframe_odometry_m": round(ate_odo, 6),
         "loop_edges": results["slam"].num_loop_edges,

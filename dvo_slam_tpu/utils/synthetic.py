@@ -123,6 +123,32 @@ def orbit_trajectory(num_frames, radius=0.04, step=None, yaw_amplitude=0.03,
     return poses
 
 
+def figure8_trajectory(num_frames, radius=0.04, yaw_amplitude=0.03,
+                       cycles=1.0):
+    """Figure-8 camera path (camera-to-world poses): a Gerono lemniscate
+    in translation with a yaw sweep following the lobe direction.
+
+    Harder loop-closure workload than orbit_trajectory: the center
+    crossing is revisited twice per cycle at DIFFERENT headings and the
+    two lobes curve in opposite directions, so candidate proposals span a
+    wider pose-difference range (tests the odometry voter's tolerance and
+    the validators' convergence basins, not just same-heading revisits).
+    """
+    poses = []
+    for i in range(num_frames):
+        a = 2.0 * np.pi * cycles * i / max(num_frames, 1)
+        t = np.array([
+            radius * np.sin(a),
+            0.5 * radius * np.sin(2 * a),
+            0.02 * np.sin(a),
+        ])
+        yaw = yaw_amplitude * np.sin(2 * a)
+        pitch = 0.02 * (1 - np.cos(a))
+        xi = np.concatenate([t, [pitch, yaw, 0.01 * np.sin(3 * a)]])
+        poses.append(se3_np.exp(xi))
+    return poses
+
+
 def add_sensor_noise(intensity, depth, rng, intensity_std=2.0,
                      depth_rel_std=0.01, dropout=0.0):
     """Kinect-like sensor noise: additive intensity noise, depth noise

@@ -63,3 +63,30 @@ def test_on_disk_slam_accuracy(tmp_path):
                                     intrinsics=K)
     assert res.ate_rmse_m < 0.7 * odo.ate_rmse_m, (res.ate_rmse_m,
                                                    odo.ate_rmse_m)
+
+
+def test_figure8_trajectory_geometry():
+    """bench/accuracy.py --trajectory figure8 relies on these properties."""
+    n, radius = 240, 0.3
+    poses = synthetic.figure8_trajectory(n, radius=radius, yaw_amplitude=0.5,
+                                         cycles=1.0)
+    # Valid SE(3) throughout.
+    for T in poses[::31]:
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-9
+    ts = np.array([T[:3, 3] for T in poses])
+    # Handheld-like: consecutive motion small and smooth.
+    steps = np.linalg.norm(np.diff(ts, axis=0), axis=1)
+    assert steps.max() < 0.12 * radius
+    # The lemniscate center is crossed twice per cycle, once per lobe.
+    d = np.linalg.norm(ts[:, :2], axis=1)
+    i1 = int(np.argmin(d[: n // 2]))
+    i2 = n // 2 + int(np.argmin(d[n // 2:]))
+    assert d[i1] < 0.05 * radius and d[i2] < 0.05 * radius
+    # ... approached from OPPOSITE x-directions (the harder loop-closure
+    # geometry the harness advertises): revisit frames near the center
+    # come in with reversed heading, unlike orbit's same-heading revisits.
+    vx1 = ts[min(i1 + 1, n - 1), 0] - ts[max(i1 - 1, 0), 0]
+    vx2 = ts[min(i2 + 1, n - 1), 0] - ts[max(i2 - 1, 0), 0]
+    assert vx1 * vx2 < 0.0, (vx1, vx2)
