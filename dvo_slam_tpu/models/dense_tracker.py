@@ -144,14 +144,6 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def _linearize(ref_data, cur_slab, K, T, cfg, axis_name=None, cur_cmajor=None,
-               sigma_init=None, sigma_warm=None):
-    """Fused channel-major linearization (ops/linearize.py)."""
-    return lin_ops.linearize(ref_data, cur_slab, K, T, cfg,
-                             axis_name=axis_name, cur_cmajor=cur_cmajor,
-                             sigma_init=sigma_init, sigma_warm=sigma_warm)
-
-
 def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
                  axis_name=None, cur_cmajor=None):
     """IRLS loop for one pyramid level (reference: the per-level loop in
@@ -160,9 +152,9 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
     use_lm = cfg.lm_lambda_init > 0.0
 
     def linearize(T, sigma_prev=None, warm=None):
-        return _linearize(ref_data, cur_slab, K, T, cfg,
-                          axis_name=axis_name, cur_cmajor=cur_cmajor,
-                          sigma_init=sigma_prev, sigma_warm=warm)
+        return lin_ops.linearize(ref_data, cur_slab, K, T, cfg,
+                                 axis_name=axis_name, cur_cmajor=cur_cmajor,
+                                 sigma_init=sigma_prev, sigma_warm=warm)
 
     def cond(carry):
         return ~carry["done"]
@@ -179,6 +171,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
         A_use = jnp.where(accept, lin.A, carry["A_best"])
         b_use = jnp.where(accept, lin.b, carry["b_best"])
         err_best = jnp.where(accept, lin.err_mean, carry["err_best"])
+        err_raw_best = jnp.where(accept, lin.err_raw, carry["err_raw_best"])
         sigma_best = jnp.where(accept, lin.sigma, carry["sigma_best"])
         n_valid_best = jnp.where(accept, lin.n_raw, carry["n_valid_best"])
         log1p_best = jnp.where(accept, lin.log1p_sum, carry["log1p_best"])
@@ -196,14 +189,19 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             # Pure GN: error increase => revert and stop (reference behaviour).
             rejected_stop = ~accept
 
+        A_solve, b_solve = A_use, b_use
         if cfg.mu > 0.0:
             # Motion prior (reference Config::Mu): penalize deviation from
             # the level's initial estimate, A += mu I, b += mu xi_prior
-            # with xi_prior = log(T_base T_init^{-1}).
+            # with xi_prior = log(T_base T_init^{-1}). Applied to the SOLVE
+            # operands only — the carried A_best/b_best stay the pure data
+            # term, else every rejected iteration re-reads the augmented
+            # carry and stacks another mu*I onto the system (the prior
+            # re-enters once per rejection instead of once per solve).
             xi_prior = se3.log(T_base @ se3.inverse(T_init))
-            A_use = A_use + cfg.mu * jnp.eye(6, dtype=dtype)
-            b_use = b_use + cfg.mu * xi_prior
-        delta = least_squares.solve(A_use, b_use, lam)
+            A_solve = A_use + cfg.mu * jnp.eye(6, dtype=dtype)
+            b_solve = b_use + cfg.mu * xi_prior
+        delta = least_squares.solve(A_solve, b_solve, lam)
         delta = jnp.where(jnp.isfinite(delta).all(), delta, jnp.zeros_like(delta))
         T_next = se3.exp(delta) @ T_base
         delta_norm = jnp.linalg.norm(delta)
@@ -219,6 +217,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             "T_cur": T_next,
             "T_best": T_base,
             "err_best": err_best,
+            "err_raw_best": err_raw_best,
             "A_best": A_use,
             "b_best": b_use,
             "sigma_best": sigma_best,
@@ -256,6 +255,7 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
         "T_cur": T_init,
         "T_best": T_init,
         "err_best": jnp.asarray(_INF, dtype),
+        "err_raw_best": jnp.asarray(0.0, dtype),
         "A_best": jnp.eye(6, dtype=dtype),
         "b_best": jnp.zeros(6, dtype=dtype),
         "sigma_best": jnp.eye(2, dtype=dtype),
@@ -280,11 +280,17 @@ def _track_level(ref_data, cur_slab, K, T_init, cfg: TrackerConfig,
             out["it_valid"], out["it_error"], out["it_delta"],
             out["it_accept"], out["term"], out["it_wmiss"],
         )
+    A_final = out["A_best"]
+    if cfg.mu > 0.0:
+        # The returned information is the POSTERIOR information: data term
+        # + the motion prior's mu*I, added exactly once here (the carry is
+        # the pure data term — see the solve-operand note above).
+        A_final = A_final + cfg.mu * jnp.eye(6, dtype=dtype)
     final = lin_ops.Linearization(
-        A=out["A_best"], b=out["b_best"], err_mean=out["err_best"],
+        A=A_final, b=out["b_best"], err_mean=out["err_best"],
         n_valid=jnp.maximum(out["n_valid_best"], 1.0),
         n_raw=out["n_valid_best"], sigma=out["sigma_best"],
-        log1p_sum=out["log1p_best"], err_raw=out["err_best"],
+        log1p_sum=out["log1p_best"], err_raw=out["err_raw_best"],
         n_window_miss=out["wmiss_best"],
     )
     return out["T_best"], final, stats

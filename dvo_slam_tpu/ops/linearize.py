@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -65,7 +67,11 @@ class Linearization(NamedTuple):
     # Selected in-bounds points masked ONLY by the pallas sampler's row
     # window (0 on the gather path) — the kernel's silent failure mode,
     # surfaced so trackers can detect/escalate (TrackStats.window_miss).
-    n_window_miss: jnp.ndarray = jnp.float32(0.0)
+    # The default is a numpy scalar, NOT a device array: a jnp value here
+    # would initialize the JAX backend at import time (pinning the
+    # platform before callers can configure it) — same rule as
+    # TrackResult's defaults in models/dense_tracker.py.
+    n_window_miss: jnp.ndarray = np.float32(0.0)
 
 
 def prepare_reference(ref_slab, K, cfg: TrackerConfig, row_offset=0) -> RefData:

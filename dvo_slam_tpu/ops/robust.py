@@ -46,13 +46,16 @@ def scale_mad(r, mask):
     """Median absolute deviation x 1.4826 (MADScaleEstimator).
 
     Median over a masked fixed-shape array: invalid entries are replaced by
-    +inf and the median is read at index (valid_count-1)//2 of the sorted
-    absolute residuals — identical to the reference's compacted median.
+    +inf and the median is read at index valid_count//2 of the sorted
+    absolute residuals — the C++ nth_element(n/2) convention of the
+    reference's compacted median (exact for odd counts, UPPER median for
+    even counts; the (n-1)//2 lower median would bias the robust scale
+    systematically low on even counts).
     """
     absr = jnp.where(mask, jnp.abs(r), jnp.inf)
     sorted_r = jnp.sort(absr)
     count = mask.sum()
-    med_idx = jnp.maximum(count - 1, 0) // 2
+    med_idx = jnp.minimum(count // 2, jnp.maximum(count - 1, 0))
     med = sorted_r[med_idx]
     return 1.4826 * jnp.where(jnp.isfinite(med), med, 1.0)
 
