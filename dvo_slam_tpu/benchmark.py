@@ -132,6 +132,15 @@ def run_sequence(
 
     num_frames = 0
 
+    if mode == "odometry" and chunk_size:
+        # The chunked device-resident front-end is a keyframe-SLAM engine;
+        # silently running the per-frame path here would let users publish
+        # "chunked odometry" fps numbers that never exercised it.
+        raise ValueError(
+            "chunk_size applies to the keyframe engines (mode='slam'/"
+            "'keyframe'); plain odometry has no chunked path"
+        )
+
     if mode == "odometry":
         from dvo_slam_tpu.models.odometry import OdometryTracker
 

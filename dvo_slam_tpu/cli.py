@@ -236,6 +236,18 @@ def main(argv=None):
         est = tum.read_trajectory(args.estimated)
         gt = tum.read_trajectory(args.groundtruth)
         pairs = tum.associate([t for t, _ in est], [t for t, _ in gt])
+        if len(pairs) < 2:
+            # Without this, an empty association reaches the Umeyama
+            # alignment as (0,)-shaped arrays and dies in a confusing
+            # numpy ZeroDivisionError. Different time bases (e.g. 0-based
+            # synthetic stamps vs mocap epoch seconds) are the usual cause.
+            print(
+                f"error: only {len(pairs)} timestamp association(s) between "
+                "the trajectories (need >= 2) — do the files share a time "
+                "base within the association tolerance?",
+                file=sys.stderr,
+            )
+            return 2
         e = [est[i][1] for i, _ in pairs]
         g = [gt[j][1] for _, j in pairs]
         ate = evaluate.ate_rmse(e, g)

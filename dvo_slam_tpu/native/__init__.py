@@ -98,6 +98,13 @@ def png_size(path: str):
     h = ctypes.c_int()
     if lib.dvo_png_size(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
         raise IOError(f"cannot probe {path}")
+    # The C side validates the IHDR too (signature + dimension caps), but
+    # a stale prebuilt library must not let a corrupt header turn into a
+    # negative-dimension ValueError or a multi-GB np.empty in the callers
+    # below — those bypass the IOError-driven OpenCV fallback.
+    if not (0 < w.value <= (1 << 20) and 0 < h.value <= (1 << 20)
+            and w.value * h.value <= (1 << 30)):
+        raise IOError(f"implausible PNG header dims {w.value}x{h.value}: {path}")
     return w.value, h.value
 
 

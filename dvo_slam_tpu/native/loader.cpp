@@ -344,11 +344,22 @@ int dvo_decode_depth(const char* path, float* out, int width, int height,
 // Probe a PNG's dimensions without full decode.
 int dvo_png_size(const char* path, int* width, int* height) {
   try {
+    static const uint8_t kMagic[8] = {137, 80, 78, 71, 13, 10, 26, 10};
     std::vector<uint8_t> file;
     if (!read_file(path, file) || file.size() < 33) return -1;
+    if (std::memcmp(file.data(), kMagic, 8) != 0) return -1;
     if (read_be32(&file[12]) != 0x49484452 /* "IHDR" */) return -1;
-    *width = int(read_be32(&file[16]));
-    *height = int(read_be32(&file[20]));
+    uint32_t w = read_be32(&file[16]);
+    uint32_t h = read_be32(&file[20]);
+    // A corrupt IHDR must fail here, not as a multi-GB allocation (or a
+    // negative-dimension numpy array) in the caller: cap at 1 GPx total,
+    // far above any RGB-D sensor.
+    if (w == 0 || h == 0 || w > (1u << 20) || h > (1u << 20) ||
+        uint64_t(w) * uint64_t(h) > (1ull << 30)) {
+      return -1;
+    }
+    *width = int(w);
+    *height = int(h);
     return 0;
   } catch (const std::exception&) {
     return -1;

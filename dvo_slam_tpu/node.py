@@ -51,6 +51,7 @@ OdometryTracker); this file is transport only.
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import socketserver
 import threading
@@ -67,57 +68,111 @@ def _read_exact(rfile, n: int) -> bytes:
     return data
 
 
+class _Subscriber:
+    """One pose-feed subscriber: bounded queue + dedicated writer thread."""
+
+    __slots__ = ("sock", "q", "thread")
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.q: "queue.Queue[Optional[bytes]]" = queue.Queue(
+            maxsize=Broadcast.QUEUE_CAP
+        )
+
+
 class Broadcast:
     """Thread-safe fan-out of pose messages to subscriber sockets
-    (the TCPROS publish side of the `rgbd/pose` topic)."""
+    (the TCPROS publish side of the `rgbd/pose` topic).
 
-    # A subscriber that stops reading fills its TCP buffer and would block
-    # sendall forever — inside the lock, wedging every camera session.
-    # Bound each send and drop the slow subscriber instead (a live pose
-    # feed is only useful to a client that keeps up).
+    publish() only ENQUEUES: each subscriber has its own bounded queue
+    drained by a dedicated writer thread, so the per-frame hot path never
+    blocks on any subscriber's TCP buffer. A subscriber that trickles
+    (staying under the send timeout, so it is never "dead") would
+    otherwise rate-limit every camera session to the slowest viewer; now
+    it just fills its own queue and gets dropped when it falls
+    QUEUE_CAP messages behind — a live pose feed is only useful to a
+    client that keeps up."""
+
+    # Bound each low-level send so a fully-stalled subscriber's writer
+    # thread fails out instead of blocking in sendall forever.
     SEND_TIMEOUT_S = 2.0
+    # Messages a subscriber may fall behind before it is disconnected.
+    QUEUE_CAP = 256
 
     def __init__(self):
         self._lock = threading.Lock()
-        self._subs: list[socket.socket] = []
+        self._subs: list[_Subscriber] = []
 
     def add(self, sock: socket.socket) -> None:
         sock.settimeout(self.SEND_TIMEOUT_S)
+        sub = _Subscriber(sock)
+        sub.thread = threading.Thread(
+            target=self._writer, args=(sub,), daemon=True,
+            name="pose-feed-writer",
+        )
         with self._lock:
-            self._subs.append(sock)
+            self._subs.append(sub)
+        sub.thread.start()
+
+    def _writer(self, sub: _Subscriber) -> None:
+        try:
+            while True:
+                data = sub.q.get()
+                if data is None:  # close_all / overflow sentinel
+                    break
+                sub.sock.sendall(data)
+        except OSError:  # includes TimeoutError: slow/stalled/hung up
+            pass
+        finally:
+            with self._lock:
+                if sub in self._subs:
+                    self._subs.remove(sub)
+            try:
+                sub.sock.close()
+            except OSError:
+                pass
 
     def publish(self, msg: dict) -> None:
         with self._lock:
-            if not self._subs:
-                return
-            data = (json.dumps(msg) + "\n").encode()
-            dead = []
-            for s in self._subs:
+            subs = list(self._subs)
+        if not subs:
+            return
+        data = (json.dumps(msg) + "\n").encode()
+        for sub in subs:
+            try:
+                sub.q.put_nowait(data)
+            except queue.Full:
+                # QUEUE_CAP messages behind: disconnect. shutdown() (not
+                # just close) WAKES a writer blocked inside sendall; its
+                # cleanup then removes the subscriber from the list.
                 try:
-                    s.sendall(data)
-                except OSError:  # includes TimeoutError: drop slow/stalled
-                    dead.append(s)
-            for s in dead:
-                self._subs.remove(s)
+                    sub.sock.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
                 try:
-                    s.close()
+                    sub.sock.close()
                 except OSError:
                     pass
 
     def close_all(self) -> None:
         """Disconnect every subscriber (server shutdown): unblocks their
-        reads with EOF."""
+        reads with EOF and lets the writer threads exit."""
         with self._lock:
-            for s in self._subs:
-                try:
-                    s.shutdown(socket.SHUT_RDWR)
-                except OSError:
-                    pass
-                try:
-                    s.close()
-                except OSError:
-                    pass
+            subs = list(self._subs)
             self._subs.clear()
+        for sub in subs:
+            try:
+                sub.q.put_nowait(None)
+            except queue.Full:
+                pass
+            try:
+                sub.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                sub.sock.close()
+            except OSError:
+                pass
 
 
 class SlamNode:
@@ -320,6 +375,11 @@ def serve_connection(sock: socket.socket, node: SlamNode,
                     return
                 continue
             w, h = int(header["w"]), int(header["h"])
+            # Validate BEFORE reading the payload: a negative product
+            # makes BufferedReader.read(-N) consume the stream to EOF
+            # (silent desync), and a huge one is an unbounded allocation.
+            if not (0 < w <= 16384 and 0 < h <= 16384):
+                raise ConnectionError(f"implausible frame dims {w}x{h}")
             intensity = np.frombuffer(
                 _read_exact(rfile, w * h * 4), "<f4"
             ).reshape(h, w)

@@ -100,7 +100,12 @@ def save_slam(path: str, slam) -> None:
         data["carry_last_odo"] = np.asarray(carry["last_odo"])
         data["carry_H_first"] = np.asarray(carry["H_first"])
         data["carry_has_first"] = np.asarray(carry["has_first"])
-    np.savez_compressed(path, **data)
+    # Write through an open handle: np.savez_compressed(path_str) silently
+    # APPENDS ".npz" to other extensions, so `--checkpoint-out state.ckpt`
+    # would write state.ckpt.npz and the later `--resume state.ckpt` would
+    # FileNotFoundError on the exact path the user was told succeeded.
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **data)
 
 
 def load_slam(path: str, K, tracker_cfg=None, slam_cfg=None,

@@ -58,6 +58,10 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
     than either grows the graph to fit (an out-of-capacity .at[] scatter
     would be silently dropped by JAX while num_vertices still reported the
     true count — a corrupt graph with no error).
+
+    Sparse vertex ids (g2o permits any) are compacted to 0..n-1 in sorted
+    order; edge endpoints follow the remapping, so a graph written back by
+    save_g2o is renumbered but structurally identical.
     """
     import jax.numpy as jnp
 
@@ -88,13 +92,18 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
                 info[ju, iu] = upper
                 edges.append((i, j, se3_np.pose_to_matrix(t, q), info))
 
-    # Vertex ids index the padded arrays directly, so capacity must cover
-    # the largest id, not just the vertex count (ids may be sparse).
-    n_v = (max(vertices) + 1) if vertices else 0
+    # g2o permits arbitrary (sparse) vertex ids; PoseGraph indexes its
+    # padded arrays densely. Remap ids to a compact 0..n-1 range in sorted
+    # order — treating the largest id as the vertex count would turn every
+    # id gap into a phantom identity vertex that rides through optimize()
+    # and gets written back out by save_g2o.
+    ids = sorted(vertices)
+    id_map = {vid: k for k, vid in enumerate(ids)}
+    n_v = len(ids)
     for i, j, _, _ in edges:
         # An edge referencing an undeclared vertex would be silently
         # clamped/wrapped by the device gather — a wrong solve, no error.
-        if i not in vertices or j not in vertices:
+        if i not in id_map or j not in id_map:
             raise ValueError(
                 f"edge ({i}, {j}) references an undeclared vertex in {path}"
             )
@@ -106,14 +115,14 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
     # one dispatch each).
     poses = np.asarray(g.poses).copy()  # jax __array__ can be read-only
     for vid, T in vertices.items():
-        poses[vid] = T
+        poses[id_map[vid]] = T
     ei = np.asarray(g.edge_i).copy()
     ej = np.asarray(g.edge_j).copy()
     Z = np.asarray(g.measurements).copy()
     info_arr = np.asarray(g.information).copy()
     mask = np.asarray(g.edge_mask).copy()
     for e, (i, j, Zm, I) in enumerate(edges):
-        ei[e], ej[e] = i, j
+        ei[e], ej[e] = id_map[i], id_map[j]
         Z[e], info_arr[e] = Zm, I
         mask[e] = True
     return g._replace(

@@ -42,24 +42,39 @@ def exp(xi):
 
 
 def log(T):
-    """SE(3) log: (4, 4) -> (6,) twist (v, w)."""
+    """SE(3) log: (4, 4) -> (6,) twist (v, w).
+
+    The rotation log goes through the quaternion (rot_to_quat is stable
+    in every trace regime), NOT the arccos + vee(R - R^T) form: that form
+    returns a ZERO rotation vector at theta = pi (R is symmetric there)
+    and garbage just below it. This matters because the loop-closure
+    CrossValidationVoter thresholds ||log(T_fwd @ T_bwd)|| — a maximally
+    inconsistent fwd/bwd pair (~180 deg apart) must read as ~pi, not 0,
+    or the voter fails open (models/constraints.py).
+    """
     T = np.asarray(T, dtype=np.float64)
     R = T[:3, :3]
     t = T[:3, 3]
-    cos_theta = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = np.arccos(cos_theta)
-    if theta < 1e-8:
-        w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-        V_inv = np.eye(3) - 0.5 * hat(w)
+    q = rot_to_quat(R)
+    qv, qw = q[:3], q[3]
+    if qw < 0.0:  # double cover: pick the short rotation
+        qv, qw = -qv, -qw
+    s = np.linalg.norm(qv)
+    theta = 2.0 * np.arctan2(s, qw)
+    # theta/s -> 2 as s -> 0 (qw ~ 1 after the sign fix above).
+    w = (theta / s) * qv if s >= 1e-9 else 2.0 * qv
+    theta_sq = theta * theta
+    W = hat(w)
+    if theta < 1e-4:
+        coef = 1.0 / 12.0 + theta_sq / 720.0
     else:
-        w = (
-            theta
-            / (2.0 * np.sin(theta))
-            * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-        )
-        W = hat(w)
-        coef = 1.0 / theta**2 - (1.0 + np.cos(theta)) / (2.0 * theta * np.sin(theta))
-        V_inv = np.eye(3) - 0.5 * W + coef * (W @ W)
+        # V^{-1} = I - W/2 + coef W^2 in the form whose denominator
+        # 1 - cos(theta) -> 2 at theta = pi (the classic
+        # 1/t^2 - (1+cos t)/(2 t sin t) form divides by sin(theta) = 0).
+        coef = (
+            1.0 - (theta * np.sin(theta)) / (2.0 * (1.0 - np.cos(theta)))
+        ) / theta_sq
+    V_inv = np.eye(3) - 0.5 * W + coef * (W @ W)
     return np.concatenate([V_inv @ t, w])
 
 

@@ -99,7 +99,7 @@ def two_plane_scene(sharpness=1.0):
     )
 
 
-def orbit_trajectory(num_frames, radius=0.04, step=None, yaw_amplitude=0.03,
+def orbit_trajectory(num_frames, radius=0.04, yaw_amplitude=0.03,
                      cycles=1.0):
     """Small smooth camera motion (camera-to-world poses), loop-friendly.
 
@@ -193,9 +193,13 @@ def write_tum_dataset(out_dir, frames, poses, fps=30.0, depth_scale=5000.0):
         stamps.append(ts)
         rgb_name = f"rgb/{ts:.6f}.png"
         depth_name = f"depth/{ts:.6f}.png"
+        # round() before the integer casts: plain .astype FLOORS, a
+        # systematic -0.5 LSB bias (1 gray level / up to 0.1 mm depth) on
+        # every pixel of the "exact-geometry" dataset; rounding halves the
+        # quantization error and removes the bias.
         cv2.imwrite(
             os.path.join(out_dir, rgb_name),
-            np.clip(intensity, 0, 255).astype(np.uint8),
+            np.round(np.clip(intensity, 0, 255)).astype(np.uint8),
         )
         raw = np.where(np.isfinite(depth), depth * depth_scale, 0.0)
         # Kinect/TUM convention: out-of-range depth is 0 (INVALID), never
@@ -203,7 +207,7 @@ def write_tum_dataset(out_dir, frames, poses, fps=30.0, depth_scale=5000.0):
         raw = np.where((raw < 0) | (raw > 65535), 0.0, raw)
         cv2.imwrite(
             os.path.join(out_dir, depth_name),
-            raw.astype(np.uint16),
+            np.round(raw).astype(np.uint16),
         )
         rgb_lines.append(f"{ts:.6f} {rgb_name}")
         depth_lines.append(f"{ts:.6f} {depth_name}")

@@ -422,3 +422,28 @@ def test_slam_covariance_export(tmp_path):
         assert np.isfinite(c2).all()
         np.testing.assert_allclose(c2, c2.T, atol=1e-12)
         assert (np.linalg.eigvalsh(c2) > 0).all()
+
+
+def test_checkpoint_exact_path_any_extension(tmp_path):
+    """save_slam must write the EXACT path given: np.savez_compressed on a
+    path string silently appends '.npz' to other extensions, so
+    `--checkpoint-out state.ckpt` + `--resume state.ckpt` would
+    FileNotFoundError on a path the run reported saving."""
+    import os
+
+    frames, poses = _frames(3)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        slam.update(intensity, depth, i / 30.0)
+    path = str(tmp_path / "state.ckpt")
+    checkpoint.save_slam(path, slam)
+    assert os.path.exists(path), os.listdir(tmp_path)
+    assert not os.path.exists(path + ".npz")
+    resumed = checkpoint.load_slam(path, K_TUPLE, TRACKER, SLAM,
+                                   enable_loop_closure=False)
+    ta, tb = slam.trajectory(), resumed.trajectory()
+    assert len(ta) == len(tb) and len(ta) == 3
+    for (sa, Ta), (sb, Tb) in zip(ta, tb):
+        assert sa == sb
+        np.testing.assert_allclose(Ta, Tb, atol=1e-7)

@@ -98,3 +98,38 @@ def test_cli_optimize_graph(tmp_path):
     _, chi2_after, _ = pose_graph.optimize(solved, iterations=1)
     assert float(chi2_after) < float(chi2_before)
     assert np.isfinite(np.asarray(solved.poses[:8])).all()
+
+
+def test_g2o_sparse_vertex_ids_compact(tmp_path):
+    """g2o permits arbitrary vertex ids; gaps must NOT become phantom
+    identity vertices in the solve / the written-back file."""
+    from dvo_slam_tpu.utils import se3_np
+
+    p = tmp_path / "sparse.g2o"
+    lines = []
+    ids = [0, 5, 9]
+    for k, vid in enumerate(ids):
+        lines.append(
+            f"VERTEX_SE3:QUAT {vid} {0.1 * k:.3f} 0 0 0 0 0 1"
+        )
+    info = " ".join(
+        ["10 0 0 0 0 0", "10 0 0 0 0", "10 0 0 0", "10 0 0", "10 0", "10"]
+    )
+    lines.append(f"EDGE_SE3:QUAT 0 5 0.1 0 0 0 0 0 1 {info}")
+    lines.append(f"EDGE_SE3:QUAT 5 9 0.1 0 0 0 0 0 1 {info}")
+    p.write_text("\n".join(lines) + "\n")
+
+    g = g2o_io.load_g2o(str(p))
+    assert int(g.num_vertices) == 3  # not max(id)+1 == 10
+    assert int(g.num_edges) == 2
+    np.testing.assert_array_equal(np.asarray(g.edge_i[:2]), [0, 1])
+    np.testing.assert_array_equal(np.asarray(g.edge_j[:2]), [1, 2])
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(g.poses[k]), se3_np.pose_to_matrix(
+                [0.1 * k, 0, 0], [0, 0, 0, 1]), atol=1e-9)
+
+    out = tmp_path / "back.g2o"
+    g2o_io.save_g2o(str(out), g)
+    text = out.read_text()
+    assert text.count("VERTEX_SE3:QUAT") == 3  # no phantom vertices written

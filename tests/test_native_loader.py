@@ -88,3 +88,34 @@ def test_loader_skips_bad_file(lib_ok, png_dir, tmp_path):
         for idx, intensity, z in loader:
             seen.append(idx)
     assert seen == [0, 2]
+
+
+def test_png_size_rejects_hostile_header(lib_ok, tmp_path):
+    """A corrupt IHDR must surface as IOError (-> the OpenCV fallback in
+    utils/tum.load_image_pair), never as a negative-dimension ValueError
+    or a multi-GB np.empty in the binding."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    cases = {
+        "neg.png": (0xFFFFFFF0, 48),      # negative as int32
+        "giant.png": (1 << 30, 1 << 30),  # multi-GB allocation
+        "zero.png": (0, 48),
+    }
+    for name, (w, h) in cases.items():
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        p = tmp_path / name
+        p.write_bytes(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                      + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+                      + chunk(b"IEND", b""))
+        with pytest.raises(IOError):
+            native.png_size(str(p))
+    # Not a PNG at all (bad signature) must also probe as IOError.
+    bad = tmp_path / "sig.png"
+    bad.write_bytes(b"NOTAPNG!" + b"\x00" * 40)
+    with pytest.raises(IOError):
+        native.png_size(str(bad))

@@ -82,12 +82,25 @@ def test_broadcast_drops_stalled_subscriber(monkeypatch):
     for _ in range(40):  # enough to overflow the stalled pipe many times
         bcast.publish(msg)
     elapsed = time.monotonic() - start
-    # One 0.2 s timeout fires when the stalled pipe first fills; after the
-    # drop, publishing is unblocked (nowhere near 40 x 0.2 s).
-    assert elapsed < 4.0, elapsed
-    with bcast._lock:
-        assert stalled_srv not in bcast._subs
-        assert healthy_srv in bcast._subs
+    # publish only ENQUEUES (per-subscriber writer threads do the sends):
+    # the hot path must never block on any subscriber's TCP buffer.
+    assert elapsed < 2.0, elapsed
+
+    def live_socks():
+        with bcast._lock:
+            return [sub.sock for sub in bcast._subs]
+
+    # The stalled subscriber's writer hits the 0.2 s send timeout once its
+    # pipe fills, and the drop happens asynchronously shortly after.
+    deadline = time.monotonic() + 5.0
+    while stalled_srv in live_socks() and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert stalled_srv not in live_socks()
+    assert healthy_srv in live_socks()
+    # Wait for the healthy writer to flush the full feed, then close.
+    while (sum(c.count(b"\n") for c in drained) < 40
+           and time.monotonic() < deadline):
+        time.sleep(0.02)
     healthy_srv.close()
     t.join(timeout=5)
     # The healthy subscriber received a full, uncorrupted feed.
@@ -307,3 +320,65 @@ def test_live_slam_reconfigure_and_clouds(tmp_path):
     assert len(final["trajectory"]) == 5
     client.close()
     thread.join(timeout=30)
+
+
+def test_broadcast_drops_backlogged_subscriber(monkeypatch):
+    """A subscriber that trickles (never hitting the send timeout, so the
+    timeout path can't catch it) must be dropped when it falls QUEUE_CAP
+    messages behind — not rate-limit every camera session to its pace."""
+    import socket
+    import time
+
+    monkeypatch.setattr(node.Broadcast, "QUEUE_CAP", 4)
+    monkeypatch.setattr(node.Broadcast, "SEND_TIMEOUT_S", 30.0)
+    bcast = node.Broadcast()
+    srv, cli = socket.socketpair()
+    for s in (srv, cli):
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+    bcast.add(srv)
+    msg = {"pose": list(range(2000))}  # ~10 KB per publish
+    start = time.monotonic()
+    for _ in range(30):  # pipe (~8 KB) + queue (4) overflow well before 30
+        bcast.publish(msg)
+    assert time.monotonic() - start < 2.0  # the hot path never blocked
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        with bcast._lock:
+            if not bcast._subs:
+                break
+        time.sleep(0.02)
+    with bcast._lock:
+        assert not bcast._subs  # dropped via overflow, not timeout
+    cli.close()
+
+
+def test_live_rejects_malformed_frame_dims(tmp_path):
+    """A negative w*h would make BufferedReader.read(-N) swallow the
+    stream to EOF (silent desync); a huge one is an unbounded allocation.
+    The session must drop the client instead."""
+    import json as _json
+    import socket
+
+    sock_path = str(tmp_path / "bad.sock")
+    _serve_unix(sock_path, "odometry")
+
+    import time
+
+    deadline = time.monotonic() + 5.0
+    sock = None
+    while time.monotonic() < deadline:
+        try:
+            sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            sock.connect(sock_path)
+            break
+        except (FileNotFoundError, ConnectionRefusedError):
+            sock.close()
+            sock = None
+            time.sleep(0.05)
+    assert sock is not None
+    sock.sendall((_json.dumps({"t": 0.0, "w": -1, "h": 4}) + "\n").encode())
+    sock.settimeout(10.0)
+    # Server must close the session (EOF), not hang waiting for payload.
+    assert sock.recv(1) == b""
+    sock.close()

@@ -103,3 +103,31 @@ def test_quaternion_roundtrip():
         t, q = se3_np.matrix_to_pose(T)
         T2 = se3_np.pose_to_matrix(t, q)
         np.testing.assert_allclose(T2, T, atol=1e-10)
+
+
+def test_host_log_near_pi():
+    """The host log must NOT fail open at theta ~ pi: the loop-closure
+    CrossValidationVoter thresholds ||log(T_f @ T_b)||, and a maximally
+    inconsistent fwd/bwd pair is a ~180-deg relative rotation. The
+    arccos + vee(R - R^T) form returns ZERO rotation there (R symmetric)."""
+    rng = np.random.default_rng(7)
+    for theta in [np.pi, np.pi - 1e-3, np.pi - 1e-6, 3.0, 2.9]:
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        v = rng.normal(scale=0.2, size=3)
+        xi = np.concatenate([v, theta * axis])
+        T = se3_np.exp(xi)
+        xi_back = se3_np.log(T)
+        # Rotation magnitude must survive (the fail-open mode reads ~0).
+        assert abs(np.linalg.norm(xi_back[3:]) - theta) < 1e-9, (theta, xi_back)
+        # Full round trip: exp(log(T)) == T even where log(T) != xi
+        # (at theta == pi the twist sign is ambiguous; the transform isn't).
+        np.testing.assert_allclose(se3_np.exp(xi_back), T, atol=1e-9)
+
+
+def test_host_log_small_and_generic_unchanged():
+    xis = random_twists(64, scale=0.4, seed=3)
+    for xi in xis:
+        np.testing.assert_allclose(se3_np.log(se3_np.exp(xi)), xi, atol=1e-10)
+    for xi in random_twists(16, scale=1e-6, seed=4):
+        np.testing.assert_allclose(se3_np.log(se3_np.exp(xi)), xi, atol=1e-12)
