@@ -152,16 +152,22 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         # Piggyback pending results on the SAME transfer (separate fetches
         # cost one full round trip each on remoted devices): the async
         # graph solve's poses and the previous switch's in-flight
-        # loop-closure validation batches.
+        # loop-closure validation batches + window refinement.
         pend_val = self._pending_validation
         if pend_val is not None:
             fetch = fetch + (pend_val.handles,)
+        pend_win = self._pending_window
+        if pend_win is not None:
+            fetch = fetch + (pend_win["handle"],)
         if self._poses_stale:
             host = jax.device_get(fetch + (self._pending_poses,))
             self._apply_poses(host[-1])
             host = host[:-1]
         else:
             host = jax.device_get(fetch)
+        if pend_win is not None:
+            self._collect_pending_window(host_poses=host[-1])
+            host = host[:-1]
         if pend_val is not None:
             self._collect_pending_validation(host_results=host[-1])
             host = host[:-1]

@@ -203,6 +203,16 @@ class KeyframeSlam:
         # finish / reset / checkpoint).
         self._pending_validation = None
 
+        # In-flight window refinement (reference: LocalMap::optimize runs
+        # on the background graph thread after MapComplete). The solve is
+        # dispatched at the switch; its refined poses are collected at the
+        # next existing transfer — blocking on it at the switch costs one
+        # full tunnel round trip per keyframe (~30 ms measured, ~20% of
+        # chunked-lc frame time). Until collection the new keyframe
+        # anchors on the UNREFINED scan estimate (deltas are microns; the
+        # next interleaved solve consumes the refined edge measurement).
+        self._pending_window = None
+
         # Windowed local map for the active keyframe (reference LocalMap).
         self._local_map = local_map.LocalMap(slam_cfg.local_map_capacity)
 
@@ -226,6 +236,7 @@ class KeyframeSlam:
         a fresh keyframe anchored at T0 (current estimate if None), with no
         odometry edge linking it to the previous keyframe.
         """
+        self._collect_pending_window()
         self._collect_pending_validation()
         self._sync_poses()
         if T0 is not None:
@@ -287,11 +298,17 @@ class KeyframeSlam:
         extra = ()
         if self.frame_logger is not None and res.stats is not None:
             extra = (res.iterations, res.stats)
-        # Piggyback the previous switch's in-flight validation results on
-        # this frame's transfer (a separate fetch costs a full round trip).
+        # Piggyback the previous switch's in-flight validation results and
+        # window refinement on this frame's transfer (a separate fetch
+        # costs a full round trip each).
         pend = self._pending_validation
         pv = (pend.handles,) if pend is not None else ()
-        host = jax.device_get(fetch + extra + pv)
+        pw = self._pending_window
+        pwh = (pw["handle"],) if pw is not None else ()
+        host = jax.device_get(fetch + extra + pv + pwh)
+        if pw is not None:
+            self._collect_pending_window(host_poses=host[-1])
+            host = host[:-1]
         if pend is not None:
             self._collect_pending_validation(host_results=host[-1])
             host = host[:-1]
@@ -412,7 +429,9 @@ class KeyframeSlam:
         """Final optimization + full-trajectory interpolation (reference
         KeyframeGraph::finalOptimization + pose composition, SURVEY.md §3.4).
         """
-        # Land any in-flight loop-closure edges before the final solve.
+        # Land any in-flight window refinement + loop-closure edges before
+        # the final solve.
+        self._collect_pending_window()
         self._collect_pending_validation()
         # Flush the trailing (never-switched) window through the local-map
         # solve so its frame records are refined too.
@@ -430,6 +449,7 @@ class KeyframeSlam:
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         """Current full trajectory: optimized keyframe poses composed with
         per-frame relative poses."""
+        self._collect_pending_window()
         self._sync_poses()
         return [
             (f.timestamp, self._world_pose(f.keyframe_idx, f.T_kf_frame))
@@ -441,6 +461,7 @@ class KeyframeSlam:
         reference backend's interchange format (g2o_viewer etc.)."""
         from dvo_slam_tpu.utils import g2o_io
 
+        self._collect_pending_window()
         self._collect_pending_validation()
         self._sync_poses()
         g2o_io.save_g2o(path, self.graph)
@@ -546,9 +567,10 @@ class KeyframeSlam:
         is ~1 rad/m). This is what lets validation dispatch before the
         refinement is fetched.
         """
-        # Edges from the PREVIOUS switch's validation must be in the graph
-        # before this switch's interleaved solve (normally a no-op: the
+        # Results from the PREVIOUS switch's background work must land
+        # before this switch's graph edits (normally a no-op: the
         # piggybacked collect at the next frame/chunk fetch already ran).
+        self._collect_pending_window()
         self._collect_pending_validation()
         self._sync_poses()
         kf = self.keyframes[-1]
@@ -567,29 +589,55 @@ class KeyframeSlam:
 
         if self.enable_loop_closure:
             T_w_pred = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
-            # Dispatched NOW, collected at the next existing transfer: the
-            # switch's blocking fetch below only waits for the (tiny)
-            # window solve while the chip grinds the validation batches
-            # under the following frames' tracking.
+            # Dispatched NOW, collected at the next existing transfer.
             self._pending_validation = self._dispatch_loop_search(
                 T_w_pred, pyr
             )
 
-        if lm_handle is not None:
-            refined = self._local_map.refined_from(np.asarray(lm_handle))
-            for fi, T in zip(self._local_map.frame_indices, refined):
-                if fi >= 0:
-                    self.frames[fi].T_kf_frame = T
-            if len(self._local_map) == lm_before + 1:  # switch frame added
-                Z_new = refined[-1]
-
+        # The window refinement is DEFERRED like the validation (reference:
+        # both run on the background graph thread): the new keyframe
+        # anchors on the unrefined Z_new now, and the collect rewrites the
+        # window's frame records + this odometry edge's measurement before
+        # any LATER solve consumes them. Blocking here instead costs one
+        # tunnel round trip per keyframe switch (~30 ms measured).
         T_w_new = self.kf_poses[kf.idx] @ se3_np.inverse(Z_new)
         self._add_keyframe(pyr, timestamp, T_w_new, kf.idx, (Z_new, info))
         new_kf = self.keyframes[-1]
+        if lm_handle is not None:
+            self._pending_window = {
+                "handle": lm_handle,
+                "lmap": self._local_map,
+                # The odometry edge _add_keyframe just appended.
+                "edge_index": int(self.graph.num_edges) - 1,
+                "switch_frame_added": len(self._local_map) == lm_before + 1,
+            }
 
         self._optimize(self.slam_cfg.optimization_iterations)
         self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         return new_kf
+
+    def _collect_pending_window(self, host_poses=None):
+        """Apply the in-flight window refinement (if any): refined
+        T_kf_frame for the window's frame records and the refined
+        measurement of the new keyframe's odometry edge. With host_poses
+        the caller already fetched the solve output (piggybacked on
+        another transfer); otherwise fetch here."""
+        pw = self._pending_window
+        if pw is None:
+            return
+        self._pending_window = None
+        lmap = pw["lmap"]
+        if host_poses is None:
+            host_poses = np.asarray(pw["handle"])
+        refined = lmap.refined_from(host_poses)
+        for fi, T in zip(lmap.frame_indices, refined):
+            if fi >= 0:
+                self.frames[fi].T_kf_frame = T
+        if pw["switch_frame_added"]:
+            # Same convention as _add_keyframe's edge: Z_edge = inv(Z_new).
+            self.graph.measurements[pw["edge_index"]] = se3_np.inverse(
+                refined[-1]
+            ).astype(np.float32)
 
     def _collect_pending_validation(self, host_results=None):
         """Insert the edges of the in-flight validation (if any). With
