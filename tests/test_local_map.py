@@ -132,3 +132,59 @@ def test_measurementless_window_is_trivial_not_a_handle():
     assert len(refined) == 3
     for r, e in zip(refined, ests):
         np.testing.assert_allclose(r, e)
+
+
+def test_deferred_window_refinement_lands_everywhere():
+    """The window solve is dispatched at the switch and collected at the
+    NEXT transfer (reference: LocalMap::optimize runs on the background
+    graph thread). Every read path must land it first: trajectory()
+    called immediately after the switch, a subsequent update()'s
+    piggybacked fetch, and finish()."""
+    rng = np.random.default_rng(9)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(10, radius=0.06)
+    frames = [
+        synthetic.add_sensor_noise(i, z, rng, intensity_std=4.0,
+                                   depth_rel_std=0.02)
+        for i, z in synthetic.render_sequence(
+            scene, np.asarray(K_TUPLE), W, H, poses)
+    ]
+
+    def drive(read_after_switch):
+        slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+        slam.init(poses[0])
+        for i, (intensity, depth) in enumerate(frames):
+            if i == 6:
+                slam.force_keyframe()
+            slam.update(intensity, depth, i / 30.0)
+            if i == 6 and read_after_switch:
+                # Immediately consume the trajectory: the pending window
+                # must be collected here, not silently dropped.
+                assert slam._pending_window is not None
+                traj = slam.trajectory()
+                assert slam._pending_window is None
+                assert len(traj) == 7
+        return [T for _, T in slam.finish()]
+
+    # Reading right after the switch must not change the final result
+    # vs letting the next update()'s fetch collect it.
+    t_eager = drive(True)
+    t_lazy = drive(False)
+    for Ta, Tb in zip(t_eager, t_lazy):
+        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+
+    # ... and the refinement genuinely landed: window frame records moved
+    # away from their closed-form fused estimates.
+    slam = KeyframeSlam(K_TUPLE, TRACKER, SLAM, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames[:6]):
+        slam.update(intensity, depth, i / 30.0)
+    fused = [f.T_kf_frame.copy() for f in slam.frames[1:]]
+    slam.force_keyframe()
+    slam.update(*frames[6], 6 / 30.0)
+    assert slam._pending_window is not None
+    slam._collect_pending_window()
+    refined = [f.T_kf_frame for f in slam.frames[1:6]]
+    deltas = [np.linalg.norm(se3_np.log(a @ se3_np.inverse(b)))
+              for a, b in zip(refined, fused)]
+    assert max(deltas) > 0.0, deltas
