@@ -289,13 +289,26 @@ def _bench_chunked(args, cfg, K_t, frames, lc=False):
         ))
 
     def run(slam, chunks, t_base):
+        # Depth-2 submit/collect pipeline: chunk c+1's scan is dispatched
+        # BEFORE chunk c's results are fetched + walked, so the fetch
+        # round trip and the host graph walk hide under the next chunk's
+        # chip compute (results are bit-identical to the sequential loop —
+        # tests/test_chunked_slam.py).
+        pending = 0
         for c, (ints, deps) in enumerate(chunks):
             if c > 0:
                 slam.force_keyframe()  # same cadence as slam mode
-            slam.update_chunk(
+            slam.submit_chunk(
                 ints, deps,
                 [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
             )
+            pending += 1
+            if pending == 2:
+                slam.collect_chunk()
+                pending -= 1
+        while pending:
+            slam.collect_chunk()
+            pending -= 1
 
     def make():
         return ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
@@ -358,19 +371,28 @@ def _bench_stream(args, cfg, K_t, frames, lc=False):
         ))
 
     def run(slam, t_base):
+        # Double-buffered upload + depth-2 submit/collect pipeline: chunk
+        # c+1 uploads AND its scan dispatches before chunk c's results are
+        # fetched + walked.
         staged = jax.device_put(raw[0])
+        pending = 0
         for c in range(n_chunks):
             cur = staged
             if c + 1 < n_chunks:
-                # Double buffer: next chunk's upload overlaps this chunk's
-                # tracking dispatch + backend walk.
                 staged = jax.device_put(raw[c + 1])
             if c > 0:
                 slam.force_keyframe()
-            slam.update_chunk(
+            slam.submit_chunk(
                 cur[0], cur[1],
                 [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
             )
+            pending += 1
+            if pending == 2:
+                slam.collect_chunk()
+                pending -= 1
+        while pending:
+            slam.collect_chunk()
+            pending -= 1
 
     warm = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
     warm.init()

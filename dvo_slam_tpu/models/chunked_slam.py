@@ -34,6 +34,7 @@ boundaries yields the same poses (tests/test_chunked_slam.py).
 
 from __future__ import annotations
 
+from collections import deque
 from typing import List, Sequence
 
 import jax
@@ -66,6 +67,8 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                          frame_logger=frame_logger,
                          collect_covariance=collect_covariance)
         self._carry = None
+        # Submitted-but-not-collected chunks (see submit_chunk).
+        self._chunk_queue: deque = deque()
 
     def update(self, intensity, depth, timestamp: float) -> np.ndarray:
         return self.update_chunk(
@@ -80,7 +83,26 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         Raw sensor dtypes pass straight through to the device (uint8
         intensity, uint16 raw depth — converted inside the scan by
         build_pyramid): streaming callers should upload raw chunks, which
-        is 2.7x less transfer than the f32 pair."""
+        is 2.7x less transfer than the f32 pair.
+
+        Equivalent to submit_chunk() + collect_chunk(): streaming callers
+        that know the next chunk early should submit it BEFORE collecting
+        the previous one — the scan carry is self-contained on device
+        (keyframe switches happen inside the scan), so chunk k+1's
+        compute starts immediately and the fetch round trip + host graph
+        walk of chunk k hide underneath it."""
+        self.submit_chunk(intensities, depths, timestamps)
+        return self.collect_chunk()
+
+    def submit_chunk(self, intensities, depths,
+                     timestamps: Sequence[float]) -> None:
+        """Dispatch a chunk's device-resident scan WITHOUT fetching.
+
+        Any submit depth works (records queue up); depth 2 captures the
+        pipelining win. force_keyframe() applies to the next SUBMITTED
+        chunk. collect_chunk() pops results in submission order;
+        finish/reset/trajectory/export/checkpoint drain the queue first.
+        """
         raw_i = getattr(intensities, "dtype", None) == np.uint8
         raw_z = getattr(depths, "dtype", None) == np.uint16
         intensities = jnp.asarray(
@@ -88,7 +110,7 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         )
         depths = jnp.asarray(depths, None if raw_z else jnp.float32)
         assert intensities.ndim == 3 and len(timestamps) == intensities.shape[0]
-        out_poses: List[np.ndarray] = []
+        init_poses: List[np.ndarray] = []
         start = 0
 
         if not self._initialized:
@@ -110,12 +132,13 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             if self.collect_covariance:
                 self.covariances.append((timestamps[0], np.zeros((6, 6))))
             self._initialized = True
-            out_poses.append(self._T0.copy())
+            init_poses.append(self._T0.copy())
             start = 1
 
         n = intensities.shape[0] - start
         if n == 0:
-            return out_poses
+            self._chunk_queue.append({"n": 0, "init_poses": init_poses})
+            return
 
         force = np.zeros(n, bool)
         if self._force_next:
@@ -123,13 +146,35 @@ class ChunkedKeyframeSlam(KeyframeSlam):
             self._force_next = False
 
         # ONE dispatch for the whole chunk; ONE device->host transfer for
-        # everything the backend walk needs.
+        # everything the backend walk needs (at collect time).
         self._carry, outs = keyframe_scan.track_keyframe_chunk(
             self._carry, intensities[start:], depths[start:], self.K,
             self.tracker_cfg, self.slam_cfg,
             force_keyframe=jnp.asarray(force),
             with_stats=self.frame_logger is not None,
         )
+        self._chunk_queue.append({
+            "n": n, "start": start, "init_poses": init_poses,
+            "outs": outs, "timestamps": list(timestamps),
+            "intensities": intensities, "depths": depths,
+            # The carry as of THIS chunk's scan: its "kf" pyramid is this
+            # chunk's last-switch keyframe. self._carry may already belong
+            # to a later submitted chunk by collect time.
+            "carry_after": self._carry,
+        })
+
+    def collect_chunk(self) -> List[np.ndarray]:
+        """Fetch + walk the oldest submitted chunk; returns its poses."""
+        chunk_rec = self._chunk_queue.popleft()
+        out_poses: List[np.ndarray] = chunk_rec["init_poses"]
+        n = chunk_rec["n"]
+        if n == 0:
+            return out_poses
+        outs = chunk_rec["outs"]
+        start = chunk_rec["start"]
+        timestamps = chunk_rec["timestamps"]
+        intensities = chunk_rec["intensities"]
+        depths = chunk_rec["depths"]
         fetch = (outs["rel_pose"], outs["switch"], outs["Z_switch"],
                  outs["info_switch"], outs["entropy"], outs["entropy_ratio"],
                  outs["accept"], outs["valid_ratio"],
@@ -182,11 +227,13 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         if stats_extra:
             iters_b, stats_b = host[pos], host[pos + 1]
 
-        # The scan carry already holds the pyramid of the LAST in-chunk
-        # switch keyframe (the scan swapped it in on device): reuse it
-        # instead of re-decoding from the raw chunk — zero extra dispatches
-        # per switch in the common one-switch-per-chunk case. Earlier
-        # switches in the same chunk (rare) still rebuild.
+        # The chunk's scan carry already holds the pyramid of its LAST
+        # in-chunk switch keyframe (the scan swapped it in on device):
+        # reuse it instead of re-decoding from the raw chunk — zero extra
+        # dispatches per switch in the common one-switch-per-chunk case.
+        # Earlier switches in the same chunk (rare) still rebuild. NOTE
+        # chunk_rec["carry_after"], not self._carry: under submit/collect
+        # pipelining the live carry may belong to a later chunk.
         switch_positions = np.flatnonzero(switch[:n])
         last_switch = int(switch_positions[-1]) if len(switch_positions) else -1
 
@@ -237,7 +284,7 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                               np.asarray(info_pair[k][1], np.float64))
                     )
                 if k == last_switch:
-                    pyr = self._carry["kf"]
+                    pyr = chunk_rec["carry_after"]["kf"]
                 else:
                     pyr = keyframe_scan.pyramid_from_stack(
                         intensities, depths, start + k,
@@ -276,3 +323,32 @@ class ChunkedKeyframeSlam(KeyframeSlam):
                 )
             out_poses.append(self._world_pose(kf.idx, T_kf_cur))
         return out_poses
+
+    # -- pipelining bookkeeping -----------------------------------------
+
+    def _drain_chunks(self) -> None:
+        """Collect every submitted-but-unwalked chunk (results land in
+        frames/trajectory; the per-chunk pose lists are not returned)."""
+        while self._chunk_queue:
+            self.collect_chunk()
+
+    def reset(self, T0=None):
+        self._drain_chunks()
+        super().reset(T0)
+
+    def finish(self):
+        self._drain_chunks()
+        return super().finish()
+
+    def trajectory(self):
+        self._drain_chunks()
+        return super().trajectory()
+
+    def export_graph(self, path: str) -> None:
+        self._drain_chunks()
+        super().export_graph(path)
+
+    def force_keyframe(self):
+        """Applies to the next SUBMITTED chunk (under pipelining, submit
+        order — not collect order — is the frame order)."""
+        super().force_keyframe()

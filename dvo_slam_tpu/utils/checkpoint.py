@@ -22,6 +22,7 @@ def save_slam(path: str, slam) -> None:
     from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
 
     assert isinstance(slam, KeyframeSlam)
+    getattr(slam, "_drain_chunks", lambda: None)()  # walk submitted chunks
     slam._collect_pending_window()  # land the in-flight window refinement
     slam._collect_pending_validation()  # land in-flight loop-closure edges
     slam._sync_poses()  # materialize any in-flight async graph solve

@@ -341,3 +341,72 @@ def test_chunked_with_reference_gradients():
     ate = evaluate.ate_rmse(est, gt)
     assert ate < 0.003, f"ATE {ate*1000:.2f} mm with reference gradients"
     assert len(slam.keyframes) >= 2
+
+
+def test_pipelined_submit_collect_matches_sequential():
+    """submit_chunk(k+1) before collect_chunk(k) — the depth-2 pipeline
+    that hides the fetch round trip under the next chunk's compute —
+    must produce exactly the sequential update_chunk results, including
+    forced keyframes (which bind to SUBMIT order) and finish()."""
+    seq_i, seq_z, ts, gt = _sequence()
+    sizes = [4, 4, 4]
+    slam_cfg = SlamConfig(max_keyframes=32, max_edges=128,
+                          min_constraint_distance=3, coarse_first_level=1,
+                          coarse_last_level=1, validation_batch=4,
+                          local_map_optimize=True)
+
+    def chunks():
+        k = 0
+        for size in sizes:
+            yield seq_i[k:k + size], seq_z[k:k + size], ts[k:k + size]
+            k += size
+
+    # Sequential baseline.
+    seq_slam = ChunkedKeyframeSlam(K, TRACKER, slam_cfg)
+    seq_slam.init()
+    seq_poses = []
+    for ci, (i_, z_, t_) in enumerate(chunks()):
+        if ci > 0:
+            seq_slam.force_keyframe()
+        seq_poses.extend(seq_slam.update_chunk(i_, z_, t_))
+    seq_traj = seq_slam.finish()
+
+    # Depth-2 pipeline: submit chunk c+1 before collecting chunk c.
+    pipe = ChunkedKeyframeSlam(K, TRACKER, slam_cfg)
+    pipe.init()
+    pipe_poses = []
+    pending = 0
+    for ci, (i_, z_, t_) in enumerate(chunks()):
+        if ci > 0:
+            pipe.force_keyframe()
+        pipe.submit_chunk(i_, z_, t_)
+        pending += 1
+        if pending == 2:
+            pipe_poses.extend(pipe.collect_chunk())
+            pending -= 1
+    while pending:
+        pipe_poses.extend(pipe.collect_chunk())
+        pending -= 1
+    pipe_traj = pipe.finish()
+
+    assert len(seq_poses) == len(pipe_poses) == len(ts)
+    for Ta, Tb in zip(seq_poses, pipe_poses):
+        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+    assert len(seq_traj) == len(pipe_traj)
+    for (ta, Ta), (tb, Tb) in zip(seq_traj, pipe_traj):
+        assert ta == tb
+        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+    assert len(seq_slam.keyframes) == len(pipe.keyframes)
+
+
+def test_pipelined_drain_on_reads():
+    """finish/trajectory on an engine with submitted-but-uncollected
+    chunks must drain the queue, never lose frames."""
+    seq_i, seq_z, ts, _ = _sequence()
+    slam = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+    slam.init()
+    slam.submit_chunk(seq_i[:6], seq_z[:6], ts[:6])
+    slam.submit_chunk(seq_i[6:], seq_z[6:], ts[6:])
+    traj = slam.finish()
+    assert len(traj) == len(ts)
+    assert not slam._chunk_queue
