@@ -255,6 +255,29 @@ def _bench_kfscan(args, cfg, K_t, ring, jax, jnp):
     return frames_done / elapsed, note
 
 
+def _run_pipelined(slam, chunks, chunk, t_base):
+    """Drive a ChunkedKeyframeSlam through (intensity, depth) chunk pairs
+    with the depth-2 submit/collect pipeline: chunk c+1's scan is
+    dispatched BEFORE chunk c's results are fetched + walked, so the fetch
+    round trip and the host graph walk hide under the next chunk's chip
+    compute (results are bit-identical to the sequential loop —
+    tests/test_chunked_slam.py). One forced keyframe per chunk (same
+    cadence as slam mode)."""
+    submitted = 0
+    for c, (ints, deps) in enumerate(chunks):
+        if c > 0:
+            slam.force_keyframe()
+        slam.submit_chunk(
+            ints, deps,
+            [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
+        )
+        submitted += 1
+        if submitted > 1:
+            slam.collect_chunk()  # chunk c-1: depth-2 pipeline
+    if submitted:
+        slam.collect_chunk()  # the final chunk
+
+
 def _bench_chunked(args, cfg, K_t, frames, lc=False):
     """Full SLAM via the chunked device-resident front-end: one dispatch +
     one transfer per chunk (models/chunked_slam.py); keyframe switches
@@ -289,26 +312,7 @@ def _bench_chunked(args, cfg, K_t, frames, lc=False):
         ))
 
     def run(slam, chunks, t_base):
-        # Depth-2 submit/collect pipeline: chunk c+1's scan is dispatched
-        # BEFORE chunk c's results are fetched + walked, so the fetch
-        # round trip and the host graph walk hide under the next chunk's
-        # chip compute (results are bit-identical to the sequential loop —
-        # tests/test_chunked_slam.py).
-        pending = 0
-        for c, (ints, deps) in enumerate(chunks):
-            if c > 0:
-                slam.force_keyframe()  # same cadence as slam mode
-            slam.submit_chunk(
-                ints, deps,
-                [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
-            )
-            pending += 1
-            if pending == 2:
-                slam.collect_chunk()
-                pending -= 1
-        while pending:
-            slam.collect_chunk()
-            pending -= 1
+        _run_pipelined(slam, chunks, chunk, t_base)
 
     def make():
         return ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
@@ -370,29 +374,19 @@ def _bench_stream(args, cfg, K_t, frames, lc=False):
             np.nan_to_num(deps * 5000.0, nan=0.0).astype(np.uint16),
         ))
 
-    def run(slam, t_base):
-        # Double-buffered upload + depth-2 submit/collect pipeline: chunk
-        # c+1 uploads AND its scan dispatches before chunk c's results are
-        # fetched + walked.
+    def staged_chunks():
+        # Double-buffered upload: chunk c+1's jax.device_put is issued
+        # when chunk c is pulled for submission, so the transfer rides
+        # under chunk c's compute + backend walk.
         staged = jax.device_put(raw[0])
-        pending = 0
         for c in range(n_chunks):
             cur = staged
             if c + 1 < n_chunks:
                 staged = jax.device_put(raw[c + 1])
-            if c > 0:
-                slam.force_keyframe()
-            slam.submit_chunk(
-                cur[0], cur[1],
-                [t_base + (c * chunk + j) / 30.0 for j in range(chunk)],
-            )
-            pending += 1
-            if pending == 2:
-                slam.collect_chunk()
-                pending -= 1
-        while pending:
-            slam.collect_chunk()
-            pending -= 1
+            yield cur
+
+    def run(slam, t_base):
+        _run_pipelined(slam, staged_chunks(), chunk, t_base)
 
     warm = ChunkedKeyframeSlam(K_t, cfg, slam_cfg, enable_loop_closure=lc)
     warm.init()

@@ -91,6 +91,10 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         (keyframe switches happen inside the scan), so chunk k+1's
         compute starts immediately and the fetch round trip + host graph
         walk of chunk k hide underneath it."""
+        # Outstanding pipelined submissions belong to EARLIER frames;
+        # without this drain, collect_chunk() would return the oldest
+        # queued chunk's poses misattributed to this call's frames.
+        self._drain_chunks()
         self.submit_chunk(intensities, depths, timestamps)
         return self.collect_chunk()
 
@@ -165,6 +169,14 @@ class ChunkedKeyframeSlam(KeyframeSlam):
 
     def collect_chunk(self) -> List[np.ndarray]:
         """Fetch + walk the oldest submitted chunk; returns its poses."""
+        if not self._chunk_queue:
+            raise RuntimeError(
+                "collect_chunk() with no submitted chunk outstanding — "
+                "every submit_chunk() pairs with exactly one "
+                "collect_chunk(), and the read paths (finish / reset / "
+                "trajectory / export_graph / checkpoint) drain the queue "
+                "themselves."
+            )
         chunk_rec = self._chunk_queue.popleft()
         out_poses: List[np.ndarray] = chunk_rec["init_poses"]
         n = chunk_rec["n"]

@@ -236,9 +236,7 @@ class KeyframeSlam:
         a fresh keyframe anchored at T0 (current estimate if None), with no
         odometry edge linking it to the previous keyframe.
         """
-        self._collect_pending_window()
-        self._collect_pending_validation()
-        self._sync_poses()
+        self._drain_device_reads()
         if T0 is not None:
             self._reset_pose = np.asarray(T0, np.float64)
         elif self.frames:
@@ -430,9 +428,8 @@ class KeyframeSlam:
         KeyframeGraph::finalOptimization + pose composition, SURVEY.md §3.4).
         """
         # Land any in-flight window refinement + loop-closure edges before
-        # the final solve.
-        self._collect_pending_window()
-        self._collect_pending_validation()
+        # the final solve (one combined transfer).
+        self._drain_device_reads()
         # Flush the trailing (never-switched) window through the local-map
         # solve so its frame records are refined too.
         if self.slam_cfg.local_map_optimize and len(self._local_map) >= 2:
@@ -449,8 +446,7 @@ class KeyframeSlam:
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         """Current full trajectory: optimized keyframe poses composed with
         per-frame relative poses."""
-        self._collect_pending_window()
-        self._sync_poses()
+        self._drain_device_reads()
         return [
             (f.timestamp, self._world_pose(f.keyframe_idx, f.T_kf_frame))
             for f in self.frames
@@ -461,9 +457,7 @@ class KeyframeSlam:
         reference backend's interchange format (g2o_viewer etc.)."""
         from dvo_slam_tpu.utils import g2o_io
 
-        self._collect_pending_window()
-        self._collect_pending_validation()
-        self._sync_poses()
+        self._drain_device_reads()
         g2o_io.save_g2o(path, self.graph)
 
     # ------------------------------------------------------------------
@@ -570,9 +564,7 @@ class KeyframeSlam:
         # Results from the PREVIOUS switch's background work must land
         # before this switch's graph edits (normally a no-op: the
         # piggybacked collect at the next frame/chunk fetch already ran).
-        self._collect_pending_window()
-        self._collect_pending_validation()
-        self._sync_poses()
+        self._drain_device_reads()
         kf = self.keyframes[-1]
         lm_handle = None
         lm_before = len(self._local_map)
@@ -615,6 +607,37 @@ class KeyframeSlam:
         self._optimize(self.slam_cfg.optimization_iterations)
         self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         return new_kf
+
+    def _drain_device_reads(self) -> None:
+        """Land every in-flight device result — optimized poses, window
+        refinement, validation batch — in ONE combined jax.device_get.
+
+        Read paths previously fetched these separately; each blocking
+        fetch costs a full round trip on remoted devices (~30 ms over the
+        tunnel), so a trajectory() poll after a keyframe switch paid up
+        to three. Apply order matches collect_chunk's piggybacked path:
+        poses first, then the window rewrite, then validation edges."""
+        pw = self._pending_window
+        pv = self._pending_validation
+        fetch = []
+        if self._poses_stale:
+            fetch.append(self._pending_poses)
+        if pw is not None:
+            fetch.append(pw["handle"])
+        if pv is not None:
+            fetch.append(pv.handles)
+        if not fetch:
+            return
+        host = jax.device_get(tuple(fetch))
+        i = 0
+        if self._poses_stale:
+            self._apply_poses(host[i])
+            i += 1
+        if pw is not None:
+            self._collect_pending_window(host_poses=host[i])
+            i += 1
+        if pv is not None:
+            self._collect_pending_validation(host_results=host[i])
 
     def _collect_pending_window(self, host_poses=None):
         """Apply the in-flight window refinement (if any): refined

@@ -23,9 +23,9 @@ def save_slam(path: str, slam) -> None:
 
     assert isinstance(slam, KeyframeSlam)
     getattr(slam, "_drain_chunks", lambda: None)()  # walk submitted chunks
-    slam._collect_pending_window()  # land the in-flight window refinement
-    slam._collect_pending_validation()  # land in-flight loop-closure edges
-    slam._sync_poses()  # materialize any in-flight async graph solve
+    # Land every in-flight device result (window refinement, loop-closure
+    # validation, async graph solve) in one combined transfer.
+    slam._drain_device_reads()
     num_levels = slam.tracker_cfg.num_levels
     data = {
         "version": np.asarray(_FORMAT_VERSION),

@@ -410,3 +410,32 @@ def test_pipelined_drain_on_reads():
     traj = slam.finish()
     assert len(traj) == len(ts)
     assert not slam._chunk_queue
+
+
+def test_update_chunk_drains_outstanding_submissions():
+    """update_chunk()/update() with pipelined submissions outstanding must
+    return THIS call's poses (the implicit drain walks the queued chunks
+    first), never the oldest queued chunk's poses misattributed."""
+    seq_i, seq_z, ts, _ = _sequence()
+    slam = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+    slam.init()
+    slam.submit_chunk(seq_i[:6], seq_z[:6], ts[:6])
+    poses = slam.update_chunk(seq_i[6:9], seq_z[6:9], ts[6:9])
+    assert len(poses) == 3  # this call's 3 frames, not the queued 6
+    assert not slam._chunk_queue
+    pose = slam.update(seq_i[9], seq_z[9], ts[9])
+    assert pose.shape == (4, 4)
+    assert len(slam.frames) == 10
+
+    # Mirror engine: identical frames through the sequential path.
+    ref = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+    ref.init()
+    ref_poses = ref.update_chunk(seq_i[:9], seq_z[:9], ts[:9])
+    np.testing.assert_allclose(poses[-1], ref_poses[-1], atol=1e-9)
+
+
+def test_collect_without_submit_raises_clear_error():
+    slam = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+    slam.init()
+    with pytest.raises(RuntimeError, match="no submitted chunk"):
+        slam.collect_chunk()
