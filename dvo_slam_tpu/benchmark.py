@@ -215,10 +215,18 @@ def run_sequence(
         # can be compiled OUTSIDE the timed region right before their
         # chunk. A single start/stop timer would charge those XLA
         # compiles to the benchmark.
+        #
+        # Depth-2 submit/collect pipelining (same as bench.py): chunk
+        # k+1's device scan is dispatched before chunk k's results are
+        # fetched + walked, so the fetch round trip, the host graph walk
+        # AND the next chunk's ingest/decode ride under chunk k's chip
+        # compute (the reference's ROS pipeline overlapped ingest the
+        # same way). Results are bit-identical to the sequential loop.
         elapsed = 0.0
         fresh_first = resume is None
         warm_t = 10.0
         buf = []
+        in_flight = 0
         for frame in itertools.chain(stream, [None]):
             if frame is not None:
                 buf.append(frame)
@@ -237,14 +245,23 @@ def run_sequence(
                 warm_t += 1.0
                 warmed_scans.add(scan_len)
             t_chunk = time.perf_counter()
-            slam.update_chunk(
+            slam.submit_chunk(
                 np.stack([f[1] for f in buf]),
                 np.stack([f[2] for f in buf]),
                 [f[0] for f in buf],
             )
+            in_flight += 1
+            if in_flight == 2:
+                slam.collect_chunk()
+                in_flight -= 1
             elapsed += time.perf_counter() - t_chunk
             num_frames += len(buf)
             buf = []
+        t_chunk = time.perf_counter()
+        while in_flight:
+            slam.collect_chunk()
+            in_flight -= 1
+        elapsed += time.perf_counter() - t_chunk
         if checkpoint_out:
             from dvo_slam_tpu.utils import checkpoint
 
