@@ -100,9 +100,12 @@ def main():
                     C = (cur_slab.shape[0]
                          if cfg.gradient_source == "current"
                          else (2 if cfg.use_depth else 1))
+                    rpt, cpt = pallas_sampler.select_tiling(
+                        Hl, Wl, cfg.pallas_rows_per_tile,
+                        cfg.pallas_cols_per_tile, cfg.pallas_margin)
                     smp, inb, _ = pallas_sampler.sample_slab(
                         cmajor, u, v, height=Hl, width=Wl, channels=C,
-                        rows_per_tile=cfg.pallas_rows_per_tile,
+                        rows_per_tile=rpt, cols_per_tile=cpt,
                         margin=cfg.pallas_margin,
                         interpret=not on_tpu)
                     s = smp.sum() + inb.sum()
@@ -160,6 +163,16 @@ def main():
                         make_cfg(pallas_rows_per_tile=rpt,
                                  gradient_source=gs),
                         mode="sample_only")
+    # Column-window tile-shape sweep (round 4: 2-D windowed tiles).
+    for rpt, cpt in ((8, 0), (8, 40), (8, 64), (8, 80), (8, 160),
+                     (16, 40), (16, 80)):
+        run_variant(f"sample only rpt={rpt} cpt={cpt}",
+                    make_cfg(pallas_rows_per_tile=rpt,
+                             pallas_cols_per_tile=cpt),
+                    mode="sample_only")
+        run_variant(f"full iter rpt={rpt} cpt={cpt}",
+                    make_cfg(pallas_rows_per_tile=rpt,
+                             pallas_cols_per_tile=cpt))
 
 
 if __name__ == "__main__":

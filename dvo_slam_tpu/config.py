@@ -111,6 +111,17 @@ class TrackerConfig:
     # and validation alike.
     sampler_backend: str = "gather"
     pallas_rows_per_tile: int = 8
+    # Target reference COLUMNS per sampling tile (round-4 2-D windowing).
+    # Bounding each tile's column span lets the kernel build its one-hot
+    # over a narrow ~(cols + 2*margin) window instead of the full padded
+    # image width — the one-hot construction was ~75% of sampler time at
+    # level 1 (K drops 384 -> 88 at the default margin). The largest
+    # feasible divisor of the level width <= this is used; 0 disables
+    # (full-width bands, the round-3 kernel shape). Levels whose width
+    # cannot satisfy the window-feasibility constraints (e.g. widths that
+    # are already multiples of 128, or too-small coarse levels) fall back
+    # to full-width bands automatically (ops/pallas/sampler.select_tiling).
+    pallas_cols_per_tile: int = 80
     # Window margin in rows. Sampling cost scales with the window height
     # (Hw = round_up(rows_per_tile + 2*margin + 2, 8) + 8): measured
     # 640x480 odometry fps 700 / 773 / 806 / 840 at margin 16 / 8 / 4 / 3

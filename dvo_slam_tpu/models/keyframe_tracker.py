@@ -828,32 +828,34 @@ class KeyframeSlam:
         T = self.slam_cfg.outlier_weight_threshold
         factor = (1.0 / T - 1.0) ** 2
         c2 = self.slam_cfg.cauchy_c ** 2
-        loops = []
-        for e in range(int(g.num_edges)):
-            if not g.edge_mask[e]:
-                continue
-            i, j = int(g.edge_i[e]), int(g.edge_j[e])
-            if abs(j - i) == 1:
-                continue  # odometry edges are never pruned
-            T_i = np.asarray(g.poses[i], np.float64)
-            T_j = np.asarray(g.poses[j], np.float64)
-            Z = np.asarray(g.measurements[e], np.float64)
-            r = se3_np.log(se3_np.inverse(Z) @ se3_np.inverse(T_i) @ T_j)
-            info = np.asarray(g.information[e], np.float64)
-            loops.append((e, float(r @ info @ r)))
-        if not loops:
+        # Vectorized over ALL active loop edges: this runs on every
+        # consumed solve, so at thousands of edges a per-edge Python loop
+        # with scalar SE(3) logs dominates keyframe-switch time (measured
+        # ~90 ms at 2k edges; batched ~1 ms).
+        ne = int(g.num_edges)
+        ei = np.asarray(g.edge_i[:ne], np.int64)
+        ej = np.asarray(g.edge_j[:ne], np.int64)
+        sel = np.asarray(g.edge_mask[:ne], bool) & (np.abs(ej - ei) != 1)
+        idx = np.nonzero(sel)[0]
+        if idx.size == 0:
             return 0
-        chis = sorted(x for _, x in loops)
-        dropped = 0
-        for e, chi in loops:
-            if len(chis) >= 2:
-                others_min = chis[1] if chi == chis[0] else chis[0]
-            else:
-                others_min = 0.0
-            if chi > factor * max(c2, others_min):
-                g.edge_mask[e] = False
-                dropped += 1
-        return dropped
+        poses = np.asarray(g.poses, np.float64)
+        Z = np.asarray(g.measurements[idx], np.float64)
+        T_rel = (se3_np.inverse_batch(Z)
+                 @ se3_np.inverse_batch(poses[ei[idx]])
+                 @ poses[ej[idx]])
+        r = se3_np.log_batch(T_rel)
+        info = np.asarray(g.information[idx], np.float64)
+        chi = np.einsum("ei,eij,ej->e", r, info, r)
+        # Leave-one-out population floor: each edge is judged against the
+        # best OTHER loop edge (a lone bad edge cannot vouch for itself).
+        order = np.sort(chi)
+        lo = order[0]
+        others_min = (np.where(chi == lo, order[1], lo)
+                      if idx.size >= 2 else np.zeros_like(chi))
+        drop = chi > factor * np.maximum(c2, others_min)
+        g.edge_mask[idx[drop]] = False
+        return int(drop.sum())
 
     def _prune_outlier_edges(self):
         """Final-pass pruning before finish()'s long solve (reference

@@ -201,20 +201,21 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
         assert cur_cmajor is not None, "pallas backend needs cur_cmajor"
         prec = (jax.lax.Precision.HIGHEST if cfg.pallas_precision == "highest"
                 else jax.lax.Precision.DEFAULT)
-        # rows_per_tile must divide the REFERENCE rows behind the points
-        # (H unless the reference grid is row-sharded, parallel/sharded.py)
-        # AND keep the per-tile point count lane-aligned (P = rpt*W
-        # multiple of 128); otherwise fall back to one whole-shard tile
-        # (coarse levels — full window).
+        # Tile geometry: rows_per_tile must divide the REFERENCE rows
+        # behind the points (H unless the reference grid is row-sharded,
+        # parallel/sharded.py); cols_per_tile bounds each tile's warped
+        # column span so the kernel's one-hot stays a narrow window
+        # (select_tiling falls back to full-width bands / whole-shard
+        # tiles where the constraints don't hold — coarse levels).
         Hr = ref.px.shape[0] // W
-        candidates = [
-            d for d in range(1, min(cfg.pallas_rows_per_tile, Hr) + 1)
-            if Hr % d == 0 and (d * W) % 128 == 0
-        ]
-        rpt = max(candidates) if candidates else Hr
+        rpt, cpt = pallas_sampler.select_tiling(
+            Hr, W, cfg.pallas_rows_per_tile, cfg.pallas_cols_per_tile,
+            cfg.pallas_margin,
+        )
         smp_cm, inb, win_miss = pallas_sampler.sample_slab(
             cur_cmajor, u, v, height=H, width=W, channels=n_smp,
             rows_per_tile=rpt,
+            cols_per_tile=cpt,
             margin=cfg.pallas_margin,
             precision=prec,
             interpret=(jax.devices()[0].platform != "tpu"),

@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: windowed bilinear slab sampling via MXU one-hot matmuls.
+"""Pallas TPU kernel: 2-D windowed bilinear slab sampling via MXU one-hot
+matmuls.
 
 This is the framework's equivalent of the reference's hand-written SSE
 sampling core (dvo_core/src/core/interpolation.cpp +
@@ -8,35 +9,44 @@ of the IRLS iteration.
 
 Why not gathers: XLA's row-gather costs ~9 cycles/point on v5e (~0.7 ms for
 a 320x240 level); Mosaic only supports single-vreg dynamic gathers. Instead
-each grid step processes one horizontal band of reference points, DMAs the
-corresponding (8-aligned) row-windows of the current frame into VMEM, and
-evaluates the bilinear sample as a one-hot contraction over COLUMNS on the
-MXU followed by a one-hot row combine on the VPU:
+each grid step processes one (rows_per_tile x cols_per_tile) TILE of
+reference points, DMAs the corresponding 2-D window of the current frame
+into VMEM, and evaluates the bilinear sample as a one-hot contraction over
+window COLUMNS on the MXU followed by a one-hot row combine on the VPU:
 
-    T1 = win @ Cw    win: (C*Hw, Wp) channel-blocked window rows,
-                     Cw: (Wp, P) column one-hot with bilinear x-weights
+    T1 = win @ Cw    win: (C*Hw, Wc) channel-blocked window rows,
+                     Cw: (Wc, P) column one-hot with bilinear x-weights
                      ->  T1: (C*Hw, P)                         (MXU)
     out[c] = sum_k R[k, :] * T1[c*Hw + k, :]   row one-hot y-weights (VPU)
 
-Column-first ordering matters: it contracts over the image width (K = Wp,
-good MXU utilization) and the intermediate is (C*Hw, P) — ~6x smaller than
-the row-first order's (C*W, P), which was VMEM-traffic-bound.
+Column windows are the round-4 addition and the key cost cut: with
+full-width rows (v3) the contraction K was the padded image width (384 at
+320x240) and — more importantly — the (K, P) one-hot Cw had to be BUILT
+with VPU compare/selects every iteration, which measured as the dominant
+~75% of the sampler (the MXU matmul itself is only ~25%). Tiling reference
+points into (8 x 80) blocks bounds each tile's warped-u span, so Cw shrinks
+to (Wc ~= 88, P): ~4.4x less one-hot construction and 3x less K at level 1.
+
+DMA alignment: Mosaic requires dynamic lane (width) offsets to be
+128-aligned, but a useful column window must start anywhere. The kernel
+therefore DMAs a WcD = round128(Wc)+128 wide window at the 128-aligned
+floor of the desired origin s, then lane-rotates it (pltpu.roll supports
+dynamic shifts) so column s lands at lane 0 — the one-hot and matmul only
+ever see the tight Wc window. Row (sublane) offsets may be 8-aligned
+directly, so rows need no rotation.
 
 Every tensor keeps points on the LANE dimension (P lanes); the warp
-coordinates arrive as (NT, 1, P) row blocks and the one-hot matrices
-broadcast a (1, P) value row against a sublane iota — no relayouts. (An
-earlier point-sublane-major formulation spent ~1.7 ms/iteration on thin
-(N, 1) input DMAs and per-store relayouts; the row-first lane-major one
-0.43 ms.)
+coordinates arrive as (NT, 1, P) blocks (tile-permuted from row-major by
+sample_slab) and the one-hot matrices broadcast a (1, P) value row against
+a sublane iota — no relayouts. The warp itself (projecting reference points
+by the pose candidate) runs in XLA outside the kernel where flat (N,)
+lane-major math is already optimal.
 
-The warp itself (projecting reference points by the pose candidate) runs in
-XLA outside the kernel where flat (N,) lane-major math is already optimal.
-
-Window semantics: points whose warped row falls outside the band's
-[oy, oy + Hw) window are reported invalid (window margin `margin` rows; the
-coarse pyramid levels fall back to whole-image windows, so large motions
-are handled there — by the fine levels the residual motion is a few
-pixels).
+Window semantics: points whose warped coordinate falls outside their tile's
+row window [oy, oy + Hw) or column window [s, s + Wc) are reported invalid
+(margin `margin` rows AND columns around the tile; the coarse pyramid
+levels fall back to whole-image windows, so large motions are handled
+there — by the fine levels the residual motion is a few pixels).
 """
 
 from __future__ import annotations
@@ -60,66 +70,173 @@ OUT_CHANNELS = 8  # [I, Z, Ix, Iy, Zx, Zy, finite_mask, window_ok]
 _MASK_NOISE_DEFAULT = 4e-3  # bf16 one-hot weights: ~2^-8 rounding
 _MASK_NOISE_HIGHEST = 1e-5  # f32 passes
 
+# Slabs at or below this stay VMEM-resident for the whole sampling call
+# (one load, zero per-tile DMA); larger ones use the per-tile DMA kernel.
+# 4 MB leaves ample VMEM (16 MB/core) for the (C*Hw, P) matmul
+# intermediate, the coordinate blocks, and pallas's output double buffer
+# — bf16 levels 1..3 and the f32 level-1 slab all fit.
+_RESIDENT_SLAB_BYTES = 4 * 1024 * 1024
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _sample_kernel(oy_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref, out_ref,
-                   win, sem, *, Hw, Hpad, W, Wp, C, precision):
+def select_tiling(Hr, W, max_rows, max_cols, margin, Wp=None):
+    """Pick (rows_per_tile, cols_per_tile) for sample_slab.
+
+    rows_per_tile: the largest divisor of Hr <= max_rows whose full-width
+    band stays lane-aligned ((d*W) % 128 == 0); whole-shard fallback
+    otherwise (coarse levels — full-image windows).
+
+    cols_per_tile: the largest divisor of W <= max_cols that (a) keeps the
+    per-tile point count lane-aligned, (b) actually tiles (>= 2 column
+    tiles), and (c) admits a feasible DMA window: WcD = round128(Wc)+128
+    must fit the padded width AND the clipped window origin must still
+    reach the image's right edge (impossible when W is already a multiple
+    of 128 — then Wp == W leaves no slack and column windows are disabled,
+    value 0).
+    """
+    Wp = Wp if Wp is not None else _round_up(W + 1, 128)
+    cand = [d for d in range(1, min(max_rows, Hr) + 1)
+            if Hr % d == 0 and (d * W) % 128 == 0]
+    rpt = max(cand) if cand else Hr
+    wt = 0
+    if max_cols > 0:
+        for d in range(min(max_cols, W), 0, -1):
+            if W % d or W // d < 2 or (rpt * d) % 128:
+                continue
+            Wc = _round_up(d + 2 * margin + 2, 8)
+            # Feasibility for the VMEM-resident kernel: the clipped window
+            # origin (s <= Wp - Wc) must still reach the image's right
+            # edge with margin. The HBM/DMA kernel has stricter
+            # (128-aligned-origin) needs — sample_slab falls back to
+            # full-width windows itself when those fail on a big slab.
+            if Wc >= Wp or Wp < W + margin:
+                continue
+            wt = d
+            break
+    return rpt, wt
+
+
+def _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, w2, *,
+                      s, oy, Hw, Wc, C, precision, dtype):
+    """Shared tail of both kernels: one-hot bilinear interpolation of the
+    (C*Hw, Wc) window value w2 at this tile's points, written to out_ref."""
     P = x0_ref.shape[2]
-    oy = pl.multiple_of(oy_ref[pl.program_id(0)], 8)
-
-    # One DMA per channel block: slab rows [c*Hpad + oy, +Hw) -> win rows
-    # [c*Hw, +Hw). Started first; overlap with one-hot construction.
-    dmas = []
-    for c in range(C):
-        src = slab_ref.at[pl.ds(c * Hpad + oy, Hw), :]
-        dst = win.at[pl.ds(c * Hw, Hw), :]
-        dma = pltpu.make_async_copy(src, dst, sem.at[c])
-        dma.start()
-        dmas.append(dma)
-
-    x0 = x0_ref[0]  # (1, P)
+    x0 = x0_ref[0] - s  # (1, P) window-local column
     fx = fx_ref[0]
-    m = jax.lax.broadcasted_iota(jnp.int32, (Wp, P), 0)
+    okx = (x0 >= 0) & (x0 <= Wc - 2)
+    x0c = jnp.clip(x0, 0, Wc - 2)
+    m = jax.lax.broadcasted_iota(jnp.int32, (Wc, P), 0)
     # Column one-hot in the slab's dtype (bf16 slabs: the MXU quantizes
     # DEFAULT-precision inputs to bf16 anyway, so this loses nothing).
-    Cw = jnp.where(m == x0, 1.0 - fx, jnp.where(m == x0 + 1, fx, 0.0)
-                   ).astype(slab_ref.dtype)  # (Wp, P)
+    Cw = jnp.where(m == x0c, 1.0 - fx, jnp.where(m == x0c + 1, fx, 0.0)
+                   ).astype(dtype)  # (Wc, P)
 
     y0l = y0_ref[0] - oy  # (1, P) int32, window-local
-    ok = (y0l >= 0) & (y0l <= Hw - 2)
+    oky = (y0l >= 0) & (y0l <= Hw - 2)
     y0c = jnp.clip(y0l, 0, Hw - 2)
     fy = fy_ref[0]  # (1, P)
     k = jax.lax.broadcasted_iota(jnp.int32, (Hw, P), 0)
     R = jnp.where(k == y0c, 1.0 - fy, jnp.where(k == y0c + 1, fy, 0.0))  # (Hw, P)
 
-    for dma in dmas:
-        dma.wait()
-    # Column interpolation on the MXU: contract the width dimension.
+    # Column interpolation on the MXU: contract the window width.
     T1 = jax.lax.dot_general(
-        win[:], Cw, (((1,), (0,)), ((), ())),
+        w2, Cw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )  # (C*Hw, P)
 
     # Row interpolation: per-channel one-hot weighted sublane reduction.
     for c in range(C):
-        Tc = T1[c * Hw : (c + 1) * Hw, :]  # (Hw, P)
+        Tc = T1[c * Hw: (c + 1) * Hw, :]  # (Hw, P)
         out_ref[c, :] = jnp.sum(R * Tc, axis=0)
+    ok = oky & okx
     out_ref[C, :] = ok[0, :].astype(jnp.float32)
     for c in range(C + 1, OUT_CHANNELS):
         out_ref[c, :] = jnp.zeros((P,), jnp.float32)
 
 
+def _sample_kernel_resident(oy_ref, s_ref, x0_ref, fx_ref, y0_ref, fy_ref,
+                            slab_ref, out_ref, *, Hw, Hpad, Wc, Wp, C,
+                            precision, col_window):
+    """VMEM-resident slab variant: the whole slab is a pallas input block
+    loaded ONCE per call (constant index map — no per-tile DMA at all; the
+    per-band window DMA traffic was the v3 kernel's measured bottleneck,
+    ~12 MB re-fetched per IRLS iteration at level 1). Each grid step reads
+    its row window straight out of VMEM."""
+    i = pl.program_id(0)
+    oy = pl.multiple_of(oy_ref[i], 8)
+    w2 = jnp.concatenate(
+        [slab_ref[pl.ds(c * Hpad + oy, Hw), :] for c in range(C)], axis=0
+    )  # (C*Hw, Wp)
+    s = 0
+    if col_window:
+        # Lane-rotate so true window column s sits at lane 0, then keep
+        # the tight Wc window (s is clipped to [0, Wp - Wc], so no
+        # wrap-around garbage can reach the kept lanes). Mosaic's dynamic
+        # rotate is 32-bit only: bf16 windows round-trip through f32.
+        s = s_ref[i]
+        dt = w2.dtype
+        if dt.itemsize != 4:
+            w2 = w2.astype(jnp.float32)
+        w2 = pltpu.roll(w2, jax.lax.rem(Wp - s, Wp), 1)[:, :Wc].astype(dt)
+    _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, w2,
+                      s=s, oy=oy, Hw=Hw, Wc=Wc, C=C, precision=precision,
+                      dtype=slab_ref.dtype)
+
+
+def _sample_kernel(oy_ref, s_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref,
+                   out_ref, win, sem, *, Hw, Hpad, Wc, WcD, C, precision,
+                   col_window):
+    """HBM slab variant (slabs too large for VMEM residency, e.g. the f32
+    full-resolution level): per-tile async DMA of the (Hw, WcD) window."""
+    i = pl.program_id(0)
+    oy = pl.multiple_of(oy_ref[i], 8)
+    if col_window:
+        s = s_ref[i]
+        ox = pl.multiple_of((s // 128) * 128, 128)
+    else:
+        s = 0
+        ox = 0
+
+    # One DMA per channel block: slab rows [c*Hpad + oy, +Hw), window
+    # columns [ox, +WcD) -> win rows [c*Hw, +Hw). Started first; overlap
+    # with coordinate prep.
+    dmas = []
+    for c in range(C):
+        src = slab_ref.at[pl.ds(c * Hpad + oy, Hw), pl.ds(ox, WcD)]
+        dst = win.at[pl.ds(c * Hw, Hw), :]
+        dma = pltpu.make_async_copy(src, dst, sem.at[c])
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+    w2 = win[:]
+    if col_window:
+        # Lane-rotate so true window column s sits at lane 0, then keep
+        # the tight Wc window (d in [0, 127], d + Wc <= WcD by
+        # construction — wrap-around lanes land beyond Wc and are cut).
+        # Mosaic's dynamic rotate is 32-bit only: bf16 windows round-trip
+        # through f32 for the rotate.
+        d = s - ox
+        dt = w2.dtype
+        if dt.itemsize != 4:
+            w2 = w2.astype(jnp.float32)
+        w2 = pltpu.roll(w2, jax.lax.rem(WcD - d, WcD), 1)[:, :Wc].astype(dt)
+    _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, w2,
+                      s=s, oy=oy, Hw=Hw, Wc=Wc, C=C, precision=precision,
+                      dtype=slab_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "channels", "rows_per_tile", "margin",
-                     "precision", "interpret", "width"),
+                     "precision", "interpret", "width", "cols_per_tile"),
 )
 def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
                 margin=16, precision=jax.lax.Precision.DEFAULT,
-                interpret=False, width=None):
+                interpret=False, width=None, cols_per_tile=0):
     """Bilinearly sample all C channels at warped coords.
 
     Args:
@@ -137,9 +254,14 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         N // height — correct only when Hr == H; sharded callers MUST
         pass it (a shard's N would silently imply a wrong width).
       channels: number of real (pre-mask) channels C in the slab (static).
-      rows_per_tile: reference rows per grid step (must divide Hr with
-        rows_per_tile*W a multiple of 128 — ops/linearize.py picks it).
-      margin: window margin in rows above/below the band.
+      rows_per_tile: reference rows per tile (must divide Hr; with
+        cols_per_tile == 0 additionally rows_per_tile*W must be a multiple
+        of 128 — select_tiling picks it).
+      cols_per_tile: reference columns per tile. 0 (default) = full-width
+        bands (no column window). Otherwise must divide W with
+        rows_per_tile*cols_per_tile a multiple of 128, and the feasibility
+        conditions of select_tiling must hold — use select_tiling.
+      margin: window margin in rows AND columns around each tile.
       precision: MXU precision of the one-hot matmul. DEFAULT is a single
         bf16 pass (~2^-9 relative sampling quantization — at the scale of
         Kinect depth noise, absorbed by the robust Sigma estimate);
@@ -151,9 +273,9 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         every footprint pixel finite in every channel (the gather path's
         per-point NaN semantics, via the sampled mask channel).
       window_miss: (N,) bool — in-bounds points masked ONLY because their
-        warped row left the band's window (indistinguishable from genuine
-        invalidity in `valid`; callers surface/escalate on this count —
-        the kernel's one silent-accuracy failure mode).
+        warped coordinate left the tile's window (indistinguishable from
+        genuine invalidity in `valid`; callers surface/escalate on this
+        count — the kernel's one silent-accuracy failure mode).
     """
     CHpad, Wp = slab_cmajor.shape
     C = channels + 1  # +1: finiteness-mask channel travels with the data
@@ -163,10 +285,32 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     H = height
     W = width if width is not None else N // H
     Hr = N // W  # reference rows behind the points (== H unless sharded)
-    P = rows_per_tile * W
-    NT = Hr // rows_per_tile
-    assert NT * P == N, (H, W, Hr, N, rows_per_tile)
-    Hw = min(Hpad, _round_up(rows_per_tile + 2 * margin + 2, 8) + 8)
+    rpt = rows_per_tile
+    wt = cols_per_tile if cols_per_tile else W
+    col_window = bool(cols_per_tile) and wt < W
+    NTy = Hr // rpt
+    NTx = W // wt
+    P = rpt * wt
+    NT = NTy * NTx
+    assert NT * P == N, (H, W, Hr, N, rpt, wt)
+    Hw = min(Hpad, _round_up(rpt + 2 * margin + 2, 8) + 8)
+    # Slabs that fit comfortably in VMEM stay RESIDENT across the whole
+    # grid (loaded once per call): the v3 kernel's per-band window DMAs
+    # re-fetched ~12 MB of slab per IRLS iteration at level 1 and were the
+    # measured bottleneck. Larger slabs (f32 full-resolution) keep the
+    # per-tile async-DMA path.
+    resident = (slab_cmajor.size * slab_cmajor.dtype.itemsize
+                <= _RESIDENT_SLAB_BYTES)
+    if col_window:
+        Wc = _round_up(wt + 2 * margin + 2, 8)
+        WcD = _round_up(Wc, 128) + 128
+        if not resident and (WcD > Wp or Wp - WcD + 127 < W + margin - Wc):
+            # The DMA kernel's 128-aligned window origin cannot cover the
+            # image at this Wc: fall back to full-width bands.
+            col_window = False
+            Wc = WcD = Wp
+    else:
+        Wc = WcD = Wp
 
     u0f = jnp.floor(u)
     v0f = jnp.floor(v)
@@ -176,42 +320,78 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     fx = (u - x0.astype(u.dtype)).astype(jnp.float32)
     fy = (v - y0.astype(v.dtype)).astype(jnp.float32)
 
-    # Per-band window origin: mean clipped warped row, clamped inside the
-    # (padded) image and 8-aligned (DMA alignment). Points farther than the
-    # window from the band mean are masked, not mis-sampled. The +4 bias
-    # centers the 8-row alignment floor's error (otherwise the floor can
-    # eat up to 7 rows of the UPPER margin — at margin 1 that masked
-    # points with zero motion whenever band_row % 8 == 7).
-    v_clip = jnp.clip(v, 0.0, H - 1.0).reshape(NT, P)
+    def tile(a):
+        """(N,) row-major -> (NT, 1, P) tile blocks."""
+        if NTx == 1:
+            return a.reshape(NT, 1, P)
+        return (a.reshape(NTy, rpt, NTx, wt)
+                 .transpose(0, 2, 1, 3).reshape(NT, 1, P))
+
+    def tile_mean(a):
+        """(N,) row-major -> (NT,) per-tile mean."""
+        return a.reshape(NTy, rpt, NTx, wt).mean(axis=(1, 3)).reshape(NT)
+
+    # Per-tile window origins from the mean clipped warped coordinate.
+    # Rows: clamped inside the (padded) image and 8-aligned (DMA sublane
+    # alignment). The +4 bias centers the 8-row alignment floor's error
+    # (otherwise the floor can eat up to 7 rows of the UPPER margin — at
+    # margin 1 that masked points with zero motion whenever
+    # band_row % 8 == 7). Points farther than the window from the tile
+    # mean are masked, not mis-sampled.
+    v_clip = jnp.clip(v, 0.0, H - 1.0)
     oy = jnp.clip(
-        jnp.round(v_clip.mean(axis=1)).astype(jnp.int32) - Hw // 2 + 4,
+        jnp.round(tile_mean(v_clip)).astype(jnp.int32) - Hw // 2 + 4,
         0, Hpad - Hw,
     )
     oy = (oy // 8) * 8
+    # Columns: the origin s needs NO alignment (resident: the kernel
+    # lane-rotates the full-width row read to s; DMA: it rotates the
+    # 128-aligned WcD window), so the window centers exactly; the clip
+    # ceiling keeps the rotate/DMA source in bounds.
+    if col_window:
+        u_clip = jnp.clip(u, 0.0, W - 1.0)
+        s_hi = (Wp - Wc) if resident else (Wp - WcD + 127)
+        s = jnp.clip(
+            jnp.round(tile_mean(u_clip)).astype(jnp.int32) - Wc // 2,
+            0, s_hi,
+        )
+    else:
+        s = jnp.zeros((NT,), jnp.int32)
 
-    kernel = functools.partial(
-        _sample_kernel, Hw=Hw, Hpad=Hpad, W=W, Wp=Wp, C=C, precision=precision
-    )
+    if resident:
+        kernel = functools.partial(
+            _sample_kernel_resident, Hw=Hw, Hpad=Hpad, Wc=Wc, Wp=Wp, C=C,
+            precision=precision, col_window=col_window,
+        )
+        slab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
+    else:
+        kernel = functools.partial(
+            _sample_kernel, Hw=Hw, Hpad=Hpad, Wc=Wc, WcD=WcD, C=C,
+            precision=precision, col_window=col_window,
+        )
+        slab_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((C * Hw, WcD), slab_cmajor.dtype),
+            pltpu.SemaphoreType.DMA((C,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # oy (NT,) int32
+        num_scalar_prefetch=2,  # oy, s: (NT,) int32
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, 1, P), lambda i, oy: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, oy: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, oy: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, oy: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # slab: compiler-placed
+            slab_spec,
         ],
-        out_specs=pl.BlockSpec((OUT_CHANNELS, P), lambda i, oy: (0, i),
+        out_specs=pl.BlockSpec((OUT_CHANNELS, P), lambda i, oy, s: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((C * Hw, Wp), slab_cmajor.dtype),
-            pltpu.SemaphoreType.DMA((C,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -220,12 +400,17 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         interpret=interpret,
     )(
         oy,
-        x0.reshape(NT, 1, P),
-        fx.reshape(NT, 1, P),
-        y0.reshape(NT, 1, P),
-        fy.reshape(NT, 1, P),
+        s,
+        tile(x0),
+        tile(fx),
+        tile(y0),
+        tile(fy),
         slab_cmajor,
     )
+    if NTx > 1:
+        # Back to row-major point order.
+        out = (out.reshape(OUT_CHANNELS, NTy, NTx, rpt, wt)
+                  .transpose(0, 1, 3, 2, 4).reshape(OUT_CHANNELS, N))
     noise = (_MASK_NOISE_HIGHEST if precision == jax.lax.Precision.HIGHEST
              else _MASK_NOISE_DEFAULT)
     w_min = jnp.minimum(fx, 1.0 - fx) * jnp.minimum(fy, 1.0 - fy)
@@ -270,7 +455,12 @@ def slab_to_cmajor(slab, dtype=None, mask_channels=None):
         [jnp.where(jnp.isfinite(slab), slab, 0.0), finite[None]], axis=0
     )
     Hpad = _round_up(H, 8)
-    Wp = _round_up(W, 128)
+    # W+1: widths that are exact multiples of 128 get a full extra lane
+    # tile of zero padding — without it the column-window DMA origin
+    # (128-aligned, WcD wide) cannot reach the image's right edge and
+    # select_tiling would have to disable column windows for those levels
+    # (e.g. the 640-wide full-resolution level). Other widths unchanged.
+    Wp = _round_up(W + 1, 128)
     chan = jnp.pad(slab, ((0, 0), (0, Hpad - H), (0, Wp - W)))
     out = chan.reshape((C + 1) * Hpad, Wp)
     return out.astype(dtype) if dtype is not None else out

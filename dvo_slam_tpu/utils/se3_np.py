@@ -86,6 +86,96 @@ def inverse(T):
     return out
 
 
+def inverse_batch(T):
+    """(E, 4, 4) -> (E, 4, 4) rigid inverses."""
+    T = np.asarray(T, dtype=np.float64)
+    Rt = np.swapaxes(T[:, :3, :3], 1, 2)
+    out = np.broadcast_to(np.eye(4), T.shape).copy()
+    out[:, :3, :3] = Rt
+    out[:, :3, 3] = -np.einsum("eij,ej->ei", Rt, T[:, :3, 3])
+    return out
+
+
+def rot_to_quat_batch(R):
+    """(E, 3, 3) -> (E, 4) unit quaternions [qx, qy, qz, qw].
+
+    Vectorized rot_to_quat: evaluates all four numerically-stable branches
+    and selects per row with the scalar version's branch conditions
+    (sqrt arguments are clamped so the unselected branches never produce
+    NaN). Agrees with rot_to_quat to f64 rounding on every trace regime.
+    """
+    R = np.asarray(R, dtype=np.float64)
+    E = R.shape[0]
+    t = np.trace(R, axis1=1, axis2=2)
+    r00, r11, r22 = R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]
+    a0 = R[:, 2, 1] - R[:, 1, 2]
+    a1 = R[:, 0, 2] - R[:, 2, 0]
+    a2 = R[:, 1, 0] - R[:, 0, 1]
+    b01 = R[:, 0, 1] + R[:, 1, 0]
+    b02 = R[:, 0, 2] + R[:, 2, 0]
+    b12 = R[:, 1, 2] + R[:, 2, 1]
+
+    def s_of(arg):
+        return np.sqrt(np.maximum(arg, 1e-300)) * 2.0
+
+    s0 = s_of(t + 1.0)
+    q0 = np.stack([a0 / s0, a1 / s0, a2 / s0, 0.25 * s0], axis=1)
+    s1 = s_of(1.0 + r00 - r11 - r22)
+    q1 = np.stack([0.25 * s1, b01 / s1, b02 / s1, a0 / s1], axis=1)
+    s2 = s_of(1.0 + r11 - r00 - r22)
+    q2 = np.stack([b01 / s2, 0.25 * s2, b12 / s2, a1 / s2], axis=1)
+    s3 = s_of(1.0 + r22 - r00 - r11)
+    q3 = np.stack([b02 / s3, b12 / s3, 0.25 * s3, a2 / s3], axis=1)
+
+    branch = np.where(
+        t > 0, 0,
+        np.where((r00 > r11) & (r00 > r22), 1, np.where(r11 > r22, 2, 3)),
+    )
+    q = np.choose(branch[:, None], [q0, q1, q2, q3])
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def log_batch(T):
+    """(E, 4, 4) -> (E, 6) twists (v, w): vectorized `log`.
+
+    Same quaternion-based rotation log and theta=pi-stable V^{-1} series
+    as the scalar version (see log's docstring); used on host paths that
+    touch EVERY graph edge per call (outlier-edge masking) where a Python
+    per-edge loop dominates keyframe-switch time at thousands of edges.
+    """
+    T = np.asarray(T, dtype=np.float64)
+    E = T.shape[0]
+    if E == 0:
+        return np.zeros((0, 6))
+    q = rot_to_quat_batch(T[:, :3, :3])
+    flip = q[:, 3] < 0.0
+    q = np.where(flip[:, None], -q, q)
+    qv, qw = q[:, :3], q[:, 3]
+    s = np.linalg.norm(qv, axis=1)
+    theta = 2.0 * np.arctan2(s, qw)
+    w = np.where(
+        (s >= 1e-9)[:, None],
+        (theta / np.maximum(s, 1e-300))[:, None] * qv,
+        2.0 * qv,
+    )
+    theta_sq = theta * theta
+    W = np.zeros((E, 3, 3))
+    W[:, 0, 1], W[:, 0, 2] = -w[:, 2], w[:, 1]
+    W[:, 1, 0], W[:, 1, 2] = w[:, 2], -w[:, 0]
+    W[:, 2, 0], W[:, 2, 1] = -w[:, 1], w[:, 0]
+    small = theta < 1e-4
+    denom = 2.0 * (1.0 - np.cos(theta))
+    coef = np.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0,
+        (1.0 - (theta * np.sin(theta)) / np.maximum(denom, 1e-300))
+        / np.maximum(theta_sq, 1e-300),
+    )
+    V_inv = np.eye(3) - 0.5 * W + coef[:, None, None] * (W @ W)
+    v = np.einsum("eij,ej->ei", V_inv, T[:, :3, 3])
+    return np.concatenate([v, w], axis=1)
+
+
 def quat_to_rot(q):
     """Unit quaternion [qx, qy, qz, qw] (TUM order) -> rotation matrix."""
     x, y, z, w = np.asarray(q, dtype=np.float64)

@@ -131,3 +131,33 @@ def test_host_log_small_and_generic_unchanged():
         np.testing.assert_allclose(se3_np.log(se3_np.exp(xi)), xi, atol=1e-10)
     for xi in random_twists(16, scale=1e-6, seed=4):
         np.testing.assert_allclose(se3_np.log(se3_np.exp(xi)), xi, atol=1e-12)
+
+
+def test_log_batch_matches_scalar():
+    """Vectorized host log (used by outlier-edge masking over ALL graph
+    edges per solve) must agree with the scalar quaternion-based log in
+    every trace regime: generic, tiny, and near/at theta = pi (where the
+    scalar version's stability mattered for the CrossValidationVoter)."""
+    rng = np.random.default_rng(7)
+    xis = [rng.normal(scale=0.5, size=6) for _ in range(64)]
+    xis += [rng.normal(scale=1e-6, size=6) for _ in range(8)]
+    for theta in [np.pi, np.pi - 1e-3, np.pi - 1e-6, 3.0, 2.9, 1e-9, 0.0]:
+        axis = rng.normal(size=3)
+        axis /= max(np.linalg.norm(axis), 1e-12)
+        xis.append(np.concatenate([rng.normal(scale=0.1, size=3),
+                                   theta * axis]))
+    Ts = np.stack([se3_np.exp(xi) for xi in xis])
+    batched = se3_np.log_batch(Ts)
+    for k in range(Ts.shape[0]):
+        scalar = se3_np.log(Ts[k])
+        np.testing.assert_allclose(batched[k], scalar, atol=1e-9,
+                                   err_msg=f"row {k}")
+
+
+def test_inverse_batch_matches_scalar():
+    rng = np.random.default_rng(8)
+    Ts = np.stack([se3_np.exp(rng.normal(scale=0.5, size=6))
+                   for _ in range(16)])
+    inv = se3_np.inverse_batch(Ts)
+    for k in range(16):
+        np.testing.assert_allclose(inv[k], se3_np.inverse(Ts[k]), atol=1e-12)
