@@ -112,16 +112,19 @@ class TrackerConfig:
     sampler_backend: str = "gather"
     pallas_rows_per_tile: int = 8
     # Target reference COLUMNS per sampling tile (round-4 2-D windowing).
-    # Bounding each tile's column span lets the kernel build its one-hot
-    # over a narrow ~(cols + 2*margin) window instead of the full padded
-    # image width — the one-hot construction was ~75% of sampler time at
-    # level 1 (K drops 384 -> 88 at the default margin). The largest
-    # feasible divisor of the level width <= this is used; 0 disables
-    # (full-width bands, the round-3 kernel shape). Levels whose width
-    # cannot satisfy the window-feasibility constraints (e.g. widths that
-    # are already multiples of 128, or too-small coarse levels) fall back
-    # to full-width bands automatically (ops/pallas/sampler.select_tiling).
-    pallas_cols_per_tile: int = 80
+    # Bounding each tile's column span lets the kernel contract a
+    # 128-aligned ~(round128(cols + 2*margin) + 128)-lane window instead
+    # of the full padded image width. MEASURED NEGATIVE at 320x240
+    # (bench/micro_linearize.py, docs/performance.md): the aligned-window
+    # slice + finer grid granularity cost as much as the smaller one-hot
+    # saves (full iter 266 us at 0 vs 273-314 us at 40..160), so column
+    # windows are DISABLED by default; the option remains for
+    # full-resolution tracking (level 0: window 256 vs 768 lanes) and
+    # future hardware. The largest feasible divisor of the level width
+    # <= this is used; levels whose width cannot satisfy the feasibility
+    # constraints fall back to full-width bands automatically
+    # (ops/pallas/sampler.select_tiling).
+    pallas_cols_per_tile: int = 0
     # Window margin in rows. Sampling cost scales with the window height
     # (Hw = round_up(rows_per_tile + 2*margin + 2, 8) + 8): measured
     # 640x480 odometry fps 700 / 773 / 806 / 840 at margin 16 / 8 / 4 / 3
@@ -280,6 +283,16 @@ class SlamConfig:
     # M=2048 in 5.8 s. 2048 = the scaling escape hatch for multi-hour
     # runs, not a fast path.
     graph_cg_threshold: int = 2048
+    # Interleaved-solve frequency backoff (g2o-user practice at scale;
+    # semantic deviation from the reference's solve-every-insertion —
+    # docs/fr1_desk_protocol.md): once the ACTIVE vertex count M exceeds
+    # this, the per-switch global solve runs every ceil(M / this)-th
+    # switch instead of every switch — UNLESS new loop-closure edges
+    # landed since the last solve (those always solve immediately; the
+    # whole point of the interleaved solve is consuming loop closures).
+    # Between solves the LocalMap window keeps local consistency, exactly
+    # the information a skipped global solve would refine. 0 disables.
+    optimization_backoff_vertices: int = 128
     # Remove loop edges whose robust weight falls below this after an
     # optimization round (reference Config::OptimizationRemoveOutliers +
     # OptimizationOutlierWeightThreshold).

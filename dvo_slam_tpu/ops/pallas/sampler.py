@@ -19,21 +19,28 @@ window COLUMNS on the MXU followed by a one-hot row combine on the VPU:
                      ->  T1: (C*Hw, P)                         (MXU)
     out[c] = sum_k R[k, :] * T1[c*Hw + k, :]   row one-hot y-weights (VPU)
 
-Column windows are the round-4 addition and the key cost cut: with
-full-width rows (v3) the contraction K was the padded image width (384 at
-320x240) and — more importantly — the (K, P) one-hot Cw had to be BUILT
-with VPU compare/selects every iteration, which measured as the dominant
-~75% of the sampler (the MXU matmul itself is only ~25%). Tiling reference
-points into (8 x 80) blocks bounds each tile's warped-u span, so Cw shrinks
-to (Wc ~= 88, P): ~4.4x less one-hot construction and 3x less K at level 1.
+Column windows are the round-4 addition: with full-width rows (v3) the
+contraction K was the padded image width (384 at 320x240) and — more
+importantly — the (K, P) one-hot Cw had to be BUILT with VPU
+compare/selects every iteration, which measured as the dominant ~75% of
+the sampler (the MXU matmul itself is only ~25%). Tiling reference points
+into (rows x cols) blocks bounds each tile's warped-u span so the one-hot
+shrinks.
 
-DMA alignment: Mosaic requires dynamic lane (width) offsets to be
-128-aligned, but a useful column window must start anywhere. The kernel
-therefore DMAs a WcD = round128(Wc)+128 wide window at the 128-aligned
-floor of the desired origin s, then lane-rotates it (pltpu.roll supports
-dynamic shifts) so column s lands at lane 0 — the one-hot and matmul only
-ever see the tight Wc window. Row (sublane) offsets may be 8-aligned
-directly, so rows need no rotation.
+Lane alignment (the v4 -> v5 lesson): Mosaic requires dynamic lane (width)
+offsets to be 128-aligned, but a useful column window can start anywhere.
+v4 lane-ROTATED a wider aligned window so the tight Wc-column window
+landed at lane 0 — measured, the dynamic rotate costs as much as the
+one-hot it saves (it moves the full (C*Hw, W) window per tile, with a
+bf16->f32 round-trip because Mosaic's rotate is 32-bit). v5 instead keeps
+the window in the 128-ALIGNED frame: slice (C*Hw, WcD) at the aligned
+floor ox (WcD = round128(Wc) + 128, so any un-aligned span fits), and
+build the one-hot directly against WINDOW-LOCAL columns x0 - ox. No data
+movement at all beyond the slice the matmul reads anyway; K = WcD (256 at
+level 1, vs the full 384; 256 vs 768 at 640x480), and the one-hot build —
+the real cost, O(K*N) VPU compare/selects — shrinks with it. Row
+(sublane) offsets may be 8-aligned directly, so rows slice at their exact
+8-aligned origin.
 
 Every tensor keeps points on the LANE dimension (P lanes); the warp
 coordinates arrive as (NT, 1, P) blocks (tile-permuted from row-major by
@@ -43,10 +50,12 @@ by the pose candidate) runs in XLA outside the kernel where flat (N,)
 lane-major math is already optimal.
 
 Window semantics: points whose warped coordinate falls outside their tile's
-row window [oy, oy + Hw) or column window [s, s + Wc) are reported invalid
-(margin `margin` rows AND columns around the tile; the coarse pyramid
-levels fall back to whole-image windows, so large motions are handled
-there — by the fine levels the residual motion is a few pixels).
+row window [oy, oy + Hw) or aligned column window [ox, ox + WcD) are
+reported invalid (margin `margin` rows around the tile; columns get >= 64
+of guaranteed slack from the aligned window's 128-lane headroom; the
+coarse pyramid levels fall back to whole-image windows, so large motions
+are handled there — by the fine levels the residual motion is a few
+pixels).
 """
 
 from __future__ import annotations
@@ -91,11 +100,11 @@ def select_tiling(Hr, W, max_rows, max_cols, margin, Wp=None):
 
     cols_per_tile: the largest divisor of W <= max_cols that (a) keeps the
     per-tile point count lane-aligned, (b) actually tiles (>= 2 column
-    tiles), and (c) admits a feasible DMA window: WcD = round128(Wc)+128
-    must fit the padded width AND the clipped window origin must still
-    reach the image's right edge (impossible when W is already a multiple
-    of 128 — then Wp == W leaves no slack and column windows are disabled,
-    value 0).
+    tiles), and (c) yields a window that actually shrinks the contraction:
+    the kernel's aligned window is WcD = round128(Wc) + 128 lanes wide
+    (any un-aligned Wc-column span fits inside it), so column windows only
+    pay when WcD < Wp — at Wp <= 256 (the coarse levels) they are
+    disabled (value 0).
     """
     Wp = Wp if Wp is not None else _round_up(W + 1, 128)
     cand = [d for d in range(1, min(max_rows, Hr) + 1)
@@ -107,12 +116,7 @@ def select_tiling(Hr, W, max_rows, max_cols, margin, Wp=None):
             if W % d or W // d < 2 or (rpt * d) % 128:
                 continue
             Wc = _round_up(d + 2 * margin + 2, 8)
-            # Feasibility for the VMEM-resident kernel: the clipped window
-            # origin (s <= Wp - Wc) must still reach the image's right
-            # edge with margin. The HBM/DMA kernel has stricter
-            # (128-aligned-origin) needs — sample_slab falls back to
-            # full-width windows itself when those fail on a big slab.
-            if Wc >= Wp or Wp < W + margin:
+            if _round_up(Wc, 128) + 128 >= Wp:
                 continue
             wt = d
             break
@@ -157,48 +161,44 @@ def _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, w2, *,
         out_ref[c, :] = jnp.zeros((P,), jnp.float32)
 
 
-def _sample_kernel_resident(oy_ref, s_ref, x0_ref, fx_ref, y0_ref, fy_ref,
-                            slab_ref, out_ref, *, Hw, Hpad, Wc, Wp, C,
+def _sample_kernel_resident(oy_ref, ox_ref, x0_ref, fx_ref, y0_ref, fy_ref,
+                            slab_ref, out_ref, *, Hw, Hpad, WcD, Wp, C,
                             precision, col_window):
     """VMEM-resident slab variant: the whole slab is a pallas input block
     loaded ONCE per call (constant index map — no per-tile DMA at all; the
     per-band window DMA traffic was the v3 kernel's measured bottleneck,
     ~12 MB re-fetched per IRLS iteration at level 1). Each grid step reads
-    its row window straight out of VMEM."""
+    its (row x aligned-column) window straight out of VMEM; the one-hot is
+    built window-local, so no rotate and no data movement beyond the slice
+    the matmul reads anyway."""
     i = pl.program_id(0)
     oy = pl.multiple_of(oy_ref[i], 8)
-    w2 = jnp.concatenate(
-        [slab_ref[pl.ds(c * Hpad + oy, Hw), :] for c in range(C)], axis=0
-    )  # (C*Hw, Wp)
-    s = 0
     if col_window:
-        # Lane-rotate so true window column s sits at lane 0, then keep
-        # the tight Wc window (s is clipped to [0, Wp - Wc], so no
-        # wrap-around garbage can reach the kept lanes). Mosaic's dynamic
-        # rotate is 32-bit only: bf16 windows round-trip through f32.
-        s = s_ref[i]
-        dt = w2.dtype
-        if dt.itemsize != 4:
-            w2 = w2.astype(jnp.float32)
-        w2 = pltpu.roll(w2, jax.lax.rem(Wp - s, Wp), 1)[:, :Wc].astype(dt)
+        ox = pl.multiple_of(ox_ref[i], 128)
+        w2 = jnp.concatenate(
+            [slab_ref[pl.ds(c * Hpad + oy, Hw), pl.ds(ox, WcD)]
+             for c in range(C)], axis=0
+        )  # (C*Hw, WcD)
+    else:
+        ox = 0
+        w2 = jnp.concatenate(
+            [slab_ref[pl.ds(c * Hpad + oy, Hw), :] for c in range(C)],
+            axis=0
+        )  # (C*Hw, Wp)
     _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, w2,
-                      s=s, oy=oy, Hw=Hw, Wc=Wc, C=C, precision=precision,
-                      dtype=slab_ref.dtype)
+                      s=ox, oy=oy, Hw=Hw, Wc=w2.shape[1], C=C,
+                      precision=precision, dtype=slab_ref.dtype)
 
 
-def _sample_kernel(oy_ref, s_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref,
-                   out_ref, win, sem, *, Hw, Hpad, Wc, WcD, C, precision,
+def _sample_kernel(oy_ref, ox_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref,
+                   out_ref, win, sem, *, Hw, Hpad, WcD, C, precision,
                    col_window):
     """HBM slab variant (slabs too large for VMEM residency, e.g. the f32
-    full-resolution level): per-tile async DMA of the (Hw, WcD) window."""
+    full-resolution level): per-tile async DMA of the (Hw, WcD) window at
+    the 128-aligned origin ox; the one-hot is built window-local."""
     i = pl.program_id(0)
     oy = pl.multiple_of(oy_ref[i], 8)
-    if col_window:
-        s = s_ref[i]
-        ox = pl.multiple_of((s // 128) * 128, 128)
-    else:
-        s = 0
-        ox = 0
+    ox = pl.multiple_of(ox_ref[i], 128) if col_window else 0
 
     # One DMA per channel block: slab rows [c*Hpad + oy, +Hw), window
     # columns [ox, +WcD) -> win rows [c*Hw, +Hw). Started first; overlap
@@ -212,20 +212,8 @@ def _sample_kernel(oy_ref, s_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref,
         dmas.append(dma)
     for dma in dmas:
         dma.wait()
-    w2 = win[:]
-    if col_window:
-        # Lane-rotate so true window column s sits at lane 0, then keep
-        # the tight Wc window (d in [0, 127], d + Wc <= WcD by
-        # construction — wrap-around lanes land beyond Wc and are cut).
-        # Mosaic's dynamic rotate is 32-bit only: bf16 windows round-trip
-        # through f32 for the rotate.
-        d = s - ox
-        dt = w2.dtype
-        if dt.itemsize != 4:
-            w2 = w2.astype(jnp.float32)
-        w2 = pltpu.roll(w2, jax.lax.rem(WcD - d, WcD), 1)[:, :Wc].astype(dt)
-    _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, w2,
-                      s=s, oy=oy, Hw=Hw, Wc=Wc, C=C, precision=precision,
+    _interp_and_store(x0_ref, fx_ref, y0_ref, fy_ref, out_ref, win[:],
+                      s=ox, oy=oy, Hw=Hw, Wc=WcD, C=C, precision=precision,
                       dtype=slab_ref.dtype)
 
 
@@ -304,13 +292,13 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     if col_window:
         Wc = _round_up(wt + 2 * margin + 2, 8)
         WcD = _round_up(Wc, 128) + 128
-        if not resident and (WcD > Wp or Wp - WcD + 127 < W + margin - Wc):
-            # The DMA kernel's 128-aligned window origin cannot cover the
-            # image at this Wc: fall back to full-width bands.
+        if WcD >= Wp:
+            # The aligned window is as wide as the slab: no contraction
+            # shrink to be had — full-width bands.
             col_window = False
-            Wc = WcD = Wp
+            WcD = Wp
     else:
-        Wc = WcD = Wp
+        WcD = Wp
 
     u0f = jnp.floor(u)
     v0f = jnp.floor(v)
@@ -344,30 +332,28 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         0, Hpad - Hw,
     )
     oy = (oy // 8) * 8
-    # Columns: the origin s needs NO alignment (resident: the kernel
-    # lane-rotates the full-width row read to s; DMA: it rotates the
-    # 128-aligned WcD window), so the window centers exactly; the clip
-    # ceiling keeps the rotate/DMA source in bounds.
+    # Columns: the window origin ox must be 128-aligned (Mosaic dynamic
+    # lane offsets). WcD = round128(Wc) + 128 guarantees any Wc-column
+    # span fits in an aligned window; the +64 bias centers the 128-floor's
+    # error so each side keeps >= 64 columns of slack around the tile's
+    # mean warped column (>= the Wc/2 span by construction).
     if col_window:
         u_clip = jnp.clip(u, 0.0, W - 1.0)
-        s_hi = (Wp - Wc) if resident else (Wp - WcD + 127)
-        s = jnp.clip(
-            jnp.round(tile_mean(u_clip)).astype(jnp.int32) - Wc // 2,
-            0, s_hi,
-        )
+        ideal = jnp.round(tile_mean(u_clip)).astype(jnp.int32) - WcD // 2 + 64
+        ox = jnp.clip((ideal // 128) * 128, 0, Wp - WcD)
     else:
-        s = jnp.zeros((NT,), jnp.int32)
+        ox = jnp.zeros((NT,), jnp.int32)
 
     if resident:
         kernel = functools.partial(
-            _sample_kernel_resident, Hw=Hw, Hpad=Hpad, Wc=Wc, Wp=Wp, C=C,
+            _sample_kernel_resident, Hw=Hw, Hpad=Hpad, WcD=WcD, Wp=Wp, C=C,
             precision=precision, col_window=col_window,
         )
         slab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
     else:
         kernel = functools.partial(
-            _sample_kernel, Hw=Hw, Hpad=Hpad, Wc=Wc, WcD=WcD, C=C,
+            _sample_kernel, Hw=Hw, Hpad=Hpad, WcD=WcD, C=C,
             precision=precision, col_window=col_window,
         )
         slab_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -376,20 +362,20 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
             pltpu.SemaphoreType.DMA((C,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # oy, s: (NT,) int32
+        num_scalar_prefetch=2,  # oy, ox: (NT,) int32
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, ox: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, ox: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, ox: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, oy, s: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, oy, ox: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             slab_spec,
         ],
-        out_specs=pl.BlockSpec((OUT_CHANNELS, P), lambda i, oy, s: (0, i),
+        out_specs=pl.BlockSpec((OUT_CHANNELS, P), lambda i, oy, ox: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -400,7 +386,7 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         interpret=interpret,
     )(
         oy,
-        s,
+        ox,
         tile(x0),
         tile(fx),
         tile(y0),
