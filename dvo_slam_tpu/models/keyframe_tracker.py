@@ -182,6 +182,9 @@ class KeyframeSlam:
         self.keyframes: List[Keyframe] = []
         self.frames: List[FrameRecord] = []
         self.num_loop_edges = 0
+        # Solve-frequency backoff state (_should_solve_interleaved).
+        self._switches_since_solve = 0
+        self._loop_edges_since_solve = 0
 
         # Per-frame tracking state.
         self._prev_pyr = None
@@ -212,6 +215,12 @@ class KeyframeSlam:
         # anchors on the UNREFINED scan estimate (deltas are microns; the
         # next interleaved solve consumes the refined edge measurement).
         self._pending_window = None
+
+        # Keyframes whose pyramid spill (device -> host RAM) is in flight:
+        # eviction starts non-blocking copies and materializes the numpy
+        # at the next combined drain, so the tracking loop never blocks on
+        # a ~10 MB pyramid download (VERDICT r3 #4).
+        self._pending_evictions: List[Keyframe] = []
 
         # Windowed local map for the active keyframe (reference LocalMap).
         self._local_map = local_map.LocalMap(slam_cfg.local_map_capacity)
@@ -508,11 +517,32 @@ class KeyframeSlam:
         loop-closure validation, whose batched stack accepts host arrays
         (re-upload happens inside that dispatch) — so eviction bounds HBM
         at ~resident_keyframes x 10 MB regardless of sequence length."""
+        # Previous evictions' copies have had at least one keyframe
+        # interval to land — materialize them first (cheap by now).
+        self._finalize_evictions()
         budget = self.slam_cfg.resident_keyframes
         resident = [k for k in self.keyframes[:-1] if k.resident]
         for kf in resident[: max(0, len(resident) + 1 - budget)]:
-            kf.pyramid = tuple(np.asarray(lvl) for lvl in kf.pyramid)
+            # Start the device->host copies WITHOUT blocking (a pyramid is
+            # ~10 MB — a synchronous np.asarray here stalled tracking for
+            # a full transfer per eviction). The numpy materialization
+            # happens at the next combined drain (_finalize_evictions); in
+            # between the pyramid stays usable as device arrays (e.g. for
+            # a validation batch).
+            for lvl in kf.pyramid:
+                if hasattr(lvl, "copy_to_host_async"):
+                    lvl.copy_to_host_async()
             kf.resident = False
+            self._pending_evictions.append(kf)
+
+    def _finalize_evictions(self):
+        """Materialize in-flight pyramid spills to numpy (frees the HBM).
+        Called from the combined drain and the switch path; by then the
+        async copies have usually landed, so this is a cheap copy-out
+        rather than a blocking transfer."""
+        for kf in self._pending_evictions:
+            kf.pyramid = tuple(np.asarray(lvl) for lvl in kf.pyramid)
+        self._pending_evictions.clear()
 
     def _add_edge(self, i: int, j: int, Z: np.ndarray, info: np.ndarray):
         """Z convention: T_i^{-1} T_j (maps j-cam coords into i-cam)."""
@@ -604,9 +634,27 @@ class KeyframeSlam:
                 "switch_frame_added": len(self._local_map) == lm_before + 1,
             }
 
-        self._optimize(self.slam_cfg.optimization_iterations)
+        self._switches_since_solve += 1
+        if self._should_solve_interleaved():
+            self._optimize(self.slam_cfg.optimization_iterations)
         self._local_map = local_map.LocalMap(self.slam_cfg.local_map_capacity)
         return new_kf
+
+    def _should_solve_interleaved(self) -> bool:
+        """Solve-frequency backoff at scale (g2o-user practice; VERDICT r3
+        #5): the reference optimizes per insertion, which is fine while
+        the graph is small, but a per-switch dense solve at M >= 512 costs
+        hundreds of ms. Once M exceeds optimization_backoff_vertices, plain
+        odometry insertions solve every ceil(M/backoff)-th switch; new
+        loop-closure edges ALWAYS trigger an immediate solve."""
+        backoff = self.slam_cfg.optimization_backoff_vertices
+        if self._loop_edges_since_solve:
+            return True
+        M = len(self.keyframes)
+        if backoff <= 0 or M <= backoff:
+            return True
+        period = -(-M // backoff)  # ceil
+        return self._switches_since_solve >= period
 
     def _drain_device_reads(self) -> None:
         """Land every in-flight device result — optimized poses, window
@@ -638,6 +686,7 @@ class KeyframeSlam:
             i += 1
         if pv is not None:
             self._collect_pending_validation(host_results=host[i])
+        self._finalize_evictions()
 
     def _collect_pending_window(self, host_poses=None):
         """Apply the in-flight window refinement (if any): refined
@@ -681,6 +730,7 @@ class KeyframeSlam:
             self._add_edge(a.keyframe_idx, a.new_idx, a.measurement,
                            a.information)
         self.num_loop_edges += len(accepted)
+        self._loop_edges_since_solve += len(accepted)
 
     def _dispatch_loop_search(self, T_w_new: np.ndarray, new_pyramid):
         """Radius candidate search + validation DISPATCH (no fetch) for a
@@ -722,6 +772,8 @@ class KeyframeSlam:
         returns immediately — the result is materialized lazily by
         _sync_poses() at the next pose read.
         """
+        self._switches_since_solve = 0
+        self._loop_edges_since_solve = 0
         if len(self.keyframes) < 2 or int(self.graph.num_edges) == 0:
             return
         # Never upload stale host poses over an unconsumed solve (no-op in

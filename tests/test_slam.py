@@ -197,6 +197,69 @@ def test_capacity_growth_and_eviction():
     assert ate < 0.005, f"ATE {ate*1000:.2f} mm"
 
 
+def test_interleaved_solve_backoff():
+    """Solve-frequency backoff (VERDICT r3 #5): past
+    optimization_backoff_vertices active keyframes, plain odometry
+    switches solve every ceil(M/backoff)-th time; new loop edges always
+    solve immediately; 0 disables the backoff entirely."""
+    cfg = dataclasses.replace(SLAM, optimization_backoff_vertices=4)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, cfg, enable_loop_closure=False)
+    slam.keyframes = [object()] * 3  # M <= backoff: every switch solves
+    slam._switches_since_solve = 1
+    assert slam._should_solve_interleaved()
+    slam.keyframes = [object()] * 12  # M=12 -> period ceil(12/4)=3
+    slam._switches_since_solve = 1
+    assert not slam._should_solve_interleaved()
+    slam._switches_since_solve = 2
+    assert not slam._should_solve_interleaved()
+    slam._switches_since_solve = 3
+    assert slam._should_solve_interleaved()
+    # Loop-closure edges bypass the backoff.
+    slam._switches_since_solve = 1
+    slam._loop_edges_since_solve = 2
+    assert slam._should_solve_interleaved()
+    # Disabled: reference solve-every-insertion semantics.
+    cfg0 = dataclasses.replace(SLAM, optimization_backoff_vertices=0)
+    slam0 = KeyframeSlam(K_TUPLE, TRACKER, cfg0, enable_loop_closure=False)
+    slam0.keyframes = [object()] * 500
+    slam0._switches_since_solve = 1
+    assert slam0._should_solve_interleaved()
+
+
+def test_eviction_is_asynchronous():
+    """Pyramid spill must not block the tracking loop: eviction starts
+    non-blocking device->host copies and the numpy materialization lands
+    at the next combined drain (read path / next switch), not inline
+    (VERDICT r3 #4 — a synchronous ~10 MB np.asarray per eviction)."""
+    import jax
+
+    tiny = dataclasses.replace(
+        SLAM, max_keyframes=8, max_edges=16, resident_keyframes=2,
+    )
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(6, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K_TUPLE), W, H, poses)
+    slam = KeyframeSlam(K_TUPLE, TRACKER, tiny, enable_loop_closure=False)
+    slam.init(poses[0])
+    for i, (intensity, depth) in enumerate(frames):
+        if i > 0:
+            slam.force_keyframe()
+        slam.update(intensity, depth, i / 30.0)
+    # The most recent eviction is still in flight: flagged non-resident,
+    # but materialization deferred (device arrays until a drain).
+    assert slam._pending_evictions
+    assert all(not k.resident for k in slam._pending_evictions)
+    assert all(isinstance(k.pyramid[0], jax.Array)
+               for k in slam._pending_evictions)
+    # Any read path drains: pyramids become host numpy.
+    slam.trajectory()
+    assert not slam._pending_evictions
+    evicted = [k for k in slam.keyframes if not k.resident]
+    assert evicted and all(
+        isinstance(k.pyramid[0], np.ndarray) for k in evicted
+    )
+
+
 def test_frame_logger_records_iteration_stats():
     """The jsonl frame logger must carry per-iteration tracking statistics
     (reference per-frame Stats + ROS_INFO observability)."""
