@@ -251,6 +251,14 @@ class SlamConfig:
     # of one compile per bucket size.
     validation_batch: int = 8
     validation_batch_max: int = 32
+    # Cap loop-closure candidates per keyframe insertion to the N nearest
+    # (by metric distance) within the search radius. 0 = unbounded, the
+    # reference's pure radius census — fine for exploration trajectories,
+    # but on revisit-heavy paths the census grows with the map and each
+    # candidate costs a validation track (+ a ~10 MB pyramid re-upload if
+    # evicted). Long-running deployments should set this (bench/soak.py
+    # uses 16).
+    max_loop_candidates: int = 0
 
     # Fuse the keyframe-relative estimate with the chained frame-to-frame
     # odometry estimate by information weighting (reference LocalMap

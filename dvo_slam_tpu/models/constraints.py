@@ -54,11 +54,24 @@ def propose_candidates(positions, new_idx, slam_cfg: SlamConfig) -> List[int]:
     edges)."""
     new_pos = positions[new_idx]
     out = []
+    dists = []
     for k in range(new_idx):
         if new_idx - k < slam_cfg.min_constraint_distance:
             continue
-        if np.linalg.norm(positions[k] - new_pos) <= slam_cfg.new_constraint_search_radius:
+        d = np.linalg.norm(positions[k] - new_pos)
+        if d <= slam_cfg.new_constraint_search_radius:
             out.append(k)
+            dists.append(d)
+    cap = slam_cfg.max_loop_candidates
+    if cap > 0 and len(out) > cap:
+        # Nearest-N cap: on revisit-heavy trajectories the radius census
+        # grows with the map (every cycle adds another ring of in-radius
+        # keyframes), and each candidate costs a coarse+fine validation
+        # track plus a pyramid re-upload if evicted. Keep the nearest by
+        # metric distance — the same candidates the radius criterion
+        # ranks as most promising. 0 = unbounded (reference semantics).
+        order = np.argsort(np.asarray(dists), kind="stable")[:cap]
+        out = [out[int(i)] for i in sorted(order)]
     return out
 
 

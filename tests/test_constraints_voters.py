@@ -144,3 +144,25 @@ def test_missing_history_rejects_conservatively():
         [chunk], [_passing_results(T_init)], [None, H_KF, H_KF], SLAM, 0.02
     )
     assert accepted == []
+
+
+def test_candidate_cap_keeps_nearest():
+    """max_loop_candidates caps the radius census to the N nearest by
+    metric distance (0 = unbounded, reference semantics)."""
+    import dataclasses
+
+    # Keyframe translations along a line; new keyframe at the origin.
+    n = 12
+    positions = np.zeros((n + 1, 3))
+    for k in range(n):
+        positions[k, 0] = 0.1 * (n - k)  # older keyframes farther away
+    cfg = dataclasses.replace(SLAM, new_constraint_search_radius=100.0,
+                              min_constraint_distance=2)
+    unbounded = constraints.propose_candidates(positions, n, cfg)
+    assert len(unbounded) == n - 1  # all but the min-distance exclusion
+
+    capped_cfg = dataclasses.replace(cfg, max_loop_candidates=3)
+    capped = constraints.propose_candidates(positions, n, capped_cfg)
+    assert len(capped) == 3
+    # Nearest three by distance are the newest eligible indices.
+    assert capped == sorted(unbounded[-3:])
