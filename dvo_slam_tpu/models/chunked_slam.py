@@ -93,7 +93,23 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         walk of chunk k hide underneath it."""
         # Outstanding pipelined submissions belong to EARLIER frames;
         # without this drain, collect_chunk() would return the oldest
-        # queued chunk's poses misattributed to this call's frames.
+        # queued chunk's poses misattributed to this call's frames. The
+        # drained chunks' per-frame poses are NOT returned (they land in
+        # frames/trajectory) — warn, since mixing update_chunk into a
+        # submit/collect pipeline usually indicates a caller-side pairing
+        # bug rather than intent.
+        if self._chunk_queue:
+            import warnings
+
+            warnings.warn(
+                f"update_chunk() called with {len(self._chunk_queue)} "
+                "pipelined chunk(s) outstanding; draining them first "
+                "(their per-frame poses are only available via "
+                "trajectory()). Pair submit_chunk with collect_chunk "
+                "when pipelining.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self._drain_chunks()
         self.submit_chunk(intensities, depths, timestamps)
         return self.collect_chunk()

@@ -664,7 +664,10 @@ class KeyframeSlam:
         fetch costs a full round trip on remoted devices (~30 ms over the
         tunnel), so a trajectory() poll after a keyframe switch paid up
         to three. Apply order matches collect_chunk's piggybacked path:
-        poses first, then the window rewrite, then validation edges."""
+        poses first, then the window rewrite, then validation edges.
+        (One rare exception: if _apply_poses masks outlier edges, it
+        re-dispatches a solve whose poses the subsequent edge insertion
+        syncs with a second fetch — correctness first on that path.)"""
         pw = self._pending_window
         pv = self._pending_validation
         fetch = []

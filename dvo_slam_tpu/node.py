@@ -44,8 +44,18 @@ trajectory viewer out of this feed (the rviz stand-in, SURVEY.md R3);
 `serve(visualizer=...)` attaches one in-process instead (the reference
 node's own marker publishing).
 
+Chunked mode (`serve(chunk=N)` / `cli live --chunk N`): the latency/
+throughput knob for remoted devices. Frames buffer host-side; every N run
+through the chunked device-resident engine as ONE dispatch with a depth-2
+submit/collect pipeline, and the N pose messages arrive as a burst up to
+2N/30 s late — same wire format, same pub/sub feed, identical
+trajectories (control commands flush pending frames first, and their
+flushed pose messages precede the command reply). Clients pipeline sends
+(StreamClient.send_frame_nowait + recv_msg) instead of awaiting one
+reply per frame.
+
 Everything device-side is the standard pipeline (KeyframeSlam /
-OdometryTracker); this file is transport only.
+ChunkedKeyframeSlam / OdometryTracker); this file is transport only.
 """
 
 from __future__ import annotations
@@ -176,11 +186,26 @@ class Broadcast:
 
 
 class SlamNode:
-    """Session state for one connected camera stream."""
+    """Session state for one connected camera stream.
+
+    chunk > 0 (slam/keyframe modes) trades pose LATENCY for THROUGHPUT:
+    frames buffer host-side and every `chunk` of them runs through the
+    device-resident chunked scan engine (ChunkedKeyframeSlam) as ONE
+    dispatch + one transfer, with a depth-2 submit/collect pipeline (at
+    most one chunk in flight). handle_frame then returns the pose
+    messages of a COMPLETED chunk (usually none or `chunk` of them) —
+    poses arrive up to 2*chunk/30 s late, the wire format and pub/sub
+    surface unchanged. finish/trajectory/reset/force_keyframe flush the
+    buffer first, so trajectories are identical to per-frame mode
+    (tests/test_node.py). The reference's live node kept sensor rate by
+    running on a locally-attached CPU; over a remoted device the
+    per-frame round trip is the bottleneck and chunking is how the same
+    deployment surface reaches sensor-rate multiples
+    (docs/performance.md)."""
 
     def __init__(self, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                  with_covariance=False, frame_logger=None, visualizer=None,
-                 visualizer_lock=None, publish_clouds=False):
+                 visualizer_lock=None, publish_clouds=False, chunk=0):
         from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 
         tracker_cfg = tracker_cfg or TrackerConfig()
@@ -194,11 +219,23 @@ class SlamNode:
         # rendering and the pose lists are not thread-safe.
         self._viz_lock = visualizer_lock or threading.Lock()
         self._K = np.asarray(K, np.float64).reshape(-1)[:4]
+        self.chunk = int(chunk) if mode != "odometry" else 0
+        self._buf: list = []  # buffered (t, intensity, depth)
+        self._inflight: list = []  # submitted chunks' (t, i, z) lists
         if mode == "odometry":
             from dvo_slam_tpu.models.odometry import OdometryTracker
 
             self.engine = OdometryTracker(
                 K, tracker_cfg, collect_covariance=with_covariance
+            )
+        elif self.chunk:
+            from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
+
+            self.engine = ChunkedKeyframeSlam(
+                K, tracker_cfg, slam_cfg,
+                enable_loop_closure=(mode == "slam"),
+                frame_logger=frame_logger,
+                collect_covariance=with_covariance,
             )
         else:
             from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
@@ -211,27 +248,20 @@ class SlamNode:
             )
         self.engine.init()
 
-    def handle_frame(self, t, intensity, depth) -> dict:
-        if self.mode == "odometry":
-            n_kf_before = 0
-            pose = self.engine.update(intensity, depth, t)
-            is_kf = False
-        else:
-            n_kf_before = len(self.engine.keyframes)
-            pose = self.engine.update(intensity, depth, t)
-            is_kf = len(self.engine.keyframes) > n_kf_before
+    def _frame_msg(self, t, pose, is_kf, cov=None, frame=None) -> dict:
         msg = {"t": t, "pose": np.asarray(pose).reshape(-1).tolist(),
                "keyframe": bool(is_kf)}
-        if self.with_covariance and self.engine.covariances:
-            cov = self.engine.covariances[-1][1]
+        if cov is not None:
             # Strict JSON has no NaN/Infinity tokens; a tracking-failure
             # frame's non-finite covariance would break non-Python
             # subscribers. Clamp to a huge variance ("unknown").
             cov = np.where(np.isfinite(cov), cov, 1e12)
             msg["covariance"] = cov.reshape(-1).tolist()
-        if is_kf and (self.visualizer is not None or self.publish_clouds):
+        if is_kf and frame is not None and (
+                self.visualizer is not None or self.publish_clouds):
             from dvo_slam_tpu.utils.visualization import point_cloud_from_rgbd
 
+            intensity, depth = frame
             pts, colors = point_cloud_from_rgbd(
                 intensity, depth, self._K, np.asarray(pose), stride=8
             )
@@ -243,12 +273,70 @@ class SlamNode:
                     "points": np.round(pts, 4).tolist(),
                     "colors": np.round(colors, 3).tolist(),
                 }
+        else:
+            pts = colors = None
         if self.visualizer is not None:
             with self._viz_lock:
                 self.visualizer.add_pose(t, np.asarray(pose), is_kf)
-                if is_kf:
+                if is_kf and pts is not None:
                     self.visualizer.add_point_cloud(pts, colors)
         return msg
+
+    def handle_frame(self, t, intensity, depth) -> list:
+        """Track one frame; returns the pose messages ready to send (one
+        in per-frame mode; none or a full chunk's worth in chunked mode)."""
+        if self.chunk:
+            self._buf.append((t, intensity, depth))
+            if len(self._buf) < self.chunk:
+                return []
+            return self._submit_buffered(collect_threshold=2)
+        if self.mode == "odometry":
+            pose = self.engine.update(intensity, depth, t)
+            is_kf = False
+        else:
+            n_kf_before = len(self.engine.keyframes)
+            pose = self.engine.update(intensity, depth, t)
+            is_kf = len(self.engine.keyframes) > n_kf_before
+        cov = (self.engine.covariances[-1][1]
+               if self.with_covariance and self.engine.covariances else None)
+        return [self._frame_msg(t, pose, is_kf, cov,
+                                frame=(intensity, depth))]
+
+    def _submit_buffered(self, collect_threshold: int) -> list:
+        """Submit the buffered frames as one chunk; collect completed
+        chunks down to collect_threshold-1 outstanding (2 = the depth-2
+        pipeline: dispatch chunk k+1 before fetching chunk k)."""
+        if self._buf:
+            ts = [f[0] for f in self._buf]
+            self.engine.submit_chunk(
+                np.stack([f[1] for f in self._buf]),
+                np.stack([f[2] for f in self._buf]),
+                ts,
+            )
+            self._inflight.append(self._buf)
+            self._buf = []
+        out = []
+        while len(self._inflight) >= collect_threshold:
+            frames = self._inflight.pop(0)
+            poses = self.engine.collect_chunk()
+            out.extend(self._chunk_msgs(frames, poses))
+        return out
+
+    def _flush(self) -> list:
+        """Drain the buffer and every in-flight chunk (control commands
+        and finish/trajectory need the engine caught up to the stream)."""
+        return self._submit_buffered(collect_threshold=1)
+
+    def _chunk_msgs(self, frames, poses) -> list:
+        kf_times = {k.timestamp for k in self.engine.keyframes}
+        covs = {}
+        if self.with_covariance:
+            covs = {t: c for t, c in self.engine.covariances}
+        return [
+            self._frame_msg(t, pose, t in kf_times, covs.get(t),
+                            frame=(intensity, depth))
+            for (t, intensity, depth), pose in zip(frames, poses)
+        ]
 
     # SlamConfig fields that size compiled/stored state: changing them on
     # a live map would orphan the padded graph / window / HBM budget.
@@ -311,18 +399,29 @@ class SlamNode:
         return {"tracker": dataclasses.asdict(new),
                 "slam": dataclasses.asdict(new_slam)}
 
-    def handle_cmd(self, cmd: str) -> Optional[dict]:
+    def flush_pending(self) -> list:
+        """Pose messages for any buffered/in-flight chunked frames ([] in
+        per-frame modes). Control commands and reconfiguration flush
+        first so the engine is caught up to the stream."""
+        return self._flush() if self.chunk else []
+
+    def handle_cmd(self, cmd: str) -> list:
+        """Returns the messages to send, in order (possibly none). In
+        chunked mode a control command first flushes pending frames, so
+        their pose messages precede the command's reply; in per-frame
+        mode no-reply commands still produce nothing — the framed
+        protocol must not desynchronize."""
+        out = self.flush_pending()
         if cmd == "force_keyframe":
-            # No-reply commands must never produce a reply, or the framed
-            # protocol desynchronizes: in odometry mode (no keyframes)
-            # this is a silent no-op, not an error message.
+            # In odometry mode (no keyframes) this is a silent no-op, not
+            # an error message.
             if self.mode != "odometry":
                 self.engine.force_keyframe()
-            return None
+            return out
         if cmd == "reset":
             if self.mode != "odometry":
                 self.engine.reset()
-            return None
+            return out
         if cmd in ("finish", "trajectory"):
             if self.mode == "odometry":
                 traj = self.engine.trajectory
@@ -333,13 +432,15 @@ class SlamNode:
             if cmd == "finish" and self.visualizer is not None:
                 with self._viz_lock:
                     self.visualizer.finish()
-            return {
+            out.append({
                 "trajectory": [
                     {"t": t, "pose": np.asarray(T).reshape(-1).tolist()}
                     for t, T in traj
                 ]
-            }
-        return {"error": f"unknown/invalid command {cmd!r}"}
+            })
+            return out
+        out.append({"error": f"unknown/invalid command {cmd!r}"})
+        return out
 
 
 def serve_connection(sock: socket.socket, node: SlamNode,
@@ -365,12 +466,17 @@ def serve_connection(sock: socket.socket, node: SlamNode,
                 header = json.loads(line)
             if "cmd" in header:
                 if header["cmd"] == "configure":
-                    reply = node.reconfigure(header.get("tracker", {}),
-                                             header.get("slam"))
+                    msgs = node.flush_pending()
+                    msgs.append(node.reconfigure(header.get("tracker", {}),
+                                                 header.get("slam")))
                 else:
-                    reply = node.handle_cmd(header["cmd"])
-                if reply is not None:
-                    sock.sendall((json.dumps(reply) + "\n").encode())
+                    msgs = node.handle_cmd(header["cmd"])
+                for msg in msgs:
+                    sock.sendall((json.dumps(msg) + "\n").encode())
+                    # Flushed chunked pose messages belong on the pose
+                    # feed too (subscribers see every per-frame pose).
+                    if broadcast is not None and "pose" in msg:
+                        broadcast.publish(msg)
                 if header["cmd"] == "finish":
                     return
                 continue
@@ -386,10 +492,11 @@ def serve_connection(sock: socket.socket, node: SlamNode,
             depth = np.frombuffer(
                 _read_exact(rfile, w * h * 4), "<f4"
             ).reshape(h, w)
-            msg = node.handle_frame(float(header["t"]), intensity, depth)
-            sock.sendall((json.dumps(msg) + "\n").encode())
-            if broadcast is not None:
-                broadcast.publish(msg)
+            for msg in node.handle_frame(float(header["t"]), intensity,
+                                         depth):
+                sock.sendall((json.dumps(msg) + "\n").encode())
+                if broadcast is not None:
+                    broadcast.publish(msg)
     finally:
         if owns_rfile:
             rfile.close()
@@ -397,7 +504,7 @@ def serve_connection(sock: socket.socket, node: SlamNode,
 
 def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
           with_covariance=False, unix=False, max_sessions=None,
-          visualizer=None, publish_clouds=False):
+          visualizer=None, publish_clouds=False, chunk=0):
     """Accept camera sessions + subscribers (one SlamNode per camera).
 
     address: (host, port) for TCP or a filesystem path for unix=True.
@@ -409,6 +516,11 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
     publish_clouds: attach a downsampled world-frame keyframe point cloud
       to each keyframe's pose message (remote viewers render the live map
       — the reference's PCL point-cloud topic equivalent).
+    chunk: > 0 runs camera sessions through the chunked engine — pose
+      messages arrive in bursts up to 2*chunk frames late, at several
+      times per-frame throughput over remoted devices (see SlamNode).
+      Clients must pipeline sends (StreamClient.send_frame_nowait) instead
+      of awaiting one reply per frame.
     """
     broadcast = Broadcast()
     done = threading.Semaphore(0)
@@ -441,7 +553,7 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                 node = SlamNode(K, tracker_cfg, slam_cfg, mode,
                                 with_covariance, visualizer=visualizer,
                                 visualizer_lock=viz_lock,
-                                publish_clouds=publish_clouds)
+                                publish_clouds=publish_clouds, chunk=chunk)
                 try:
                     serve_connection(self.request, node, broadcast,
                                      first_header=header, rfile=rfile)
@@ -487,6 +599,9 @@ class StreamClient:
     def __init__(self, sock: socket.socket):
         self.sock = sock
         self._rfile = sock.makefile("rb")
+        # Pose messages that arrived while awaiting a command reply
+        # (chunked servers flush pending frames before replying).
+        self.pose_backlog: list = []
 
     @classmethod
     def connect_tcp(cls, host, port):
@@ -499,17 +614,36 @@ class StreamClient:
         return cls(s)
 
     def send_frame(self, t, intensity, depth) -> dict:
+        """Send one frame and await its pose reply (per-frame servers
+        ONLY — a chunked server replies in bursts; use send_frame_nowait
+        + recv_msg there or this blocks until the chunk completes)."""
+        self.send_frame_nowait(t, intensity, depth)
+        return self.recv_msg()
+
+    def send_frame_nowait(self, t, intensity, depth) -> None:
+        """Send one frame without awaiting a reply (chunked servers reply
+        in bursts; TCP buffers the pipeline)."""
         h, w = intensity.shape
         header = json.dumps({"t": float(t), "w": w, "h": h}) + "\n"
         self.sock.sendall(header.encode())
         self.sock.sendall(np.ascontiguousarray(intensity, "<f4").tobytes())
         self.sock.sendall(np.ascontiguousarray(depth, "<f4").tobytes())
+
+    def recv_msg(self) -> dict:
+        """Read the next server message (pose burst element, command
+        reply, or trajectory)."""
         return json.loads(self._rfile.readline())
 
     def command(self, cmd: str, expect_reply: bool) -> Optional[dict]:
         self.sock.sendall((json.dumps({"cmd": cmd}) + "\n").encode())
         if expect_reply:
-            return json.loads(self._rfile.readline())
+            # A chunked server flushes pending pose messages before the
+            # reply; keep them (pose_backlog) rather than losing frames.
+            while True:
+                msg = json.loads(self._rfile.readline())
+                if "pose" not in msg:
+                    return msg
+                self.pose_backlog.append(msg)
         return None
 
     def configure(self, slam: Optional[dict] = None,

@@ -19,14 +19,14 @@ SLAM = SlamConfig(max_keyframes=32, max_edges=128, min_constraint_distance=3,
 
 
 def _serve_unix(path, mode, with_covariance=False, visualizer=None,
-                publish_clouds=False):
+                publish_clouds=False, chunk=0):
     t = threading.Thread(
         target=node.serve,
         args=(path, K),
         kwargs=dict(tracker_cfg=TRACKER, slam_cfg=SLAM, mode=mode,
                     with_covariance=with_covariance, unix=True,
                     max_sessions=1, visualizer=visualizer,
-                    publish_clouds=publish_clouds),
+                    publish_clouds=publish_clouds, chunk=chunk),
         daemon=True,
     )
     t.start()
@@ -382,3 +382,74 @@ def test_live_rejects_malformed_frame_dims(tmp_path):
     # Server must close the session (EOF), not hang waiting for payload.
     assert sock.recv(1) == b""
     sock.close()
+
+
+def test_live_chunked_matches_per_frame(tmp_path):
+    """The --chunk latency/throughput knob: a chunked session emits
+    exactly one pose message per frame (in bursts, in frame order) and
+    its finished trajectory matches the per-frame node over the same
+    stream (control commands flush pending frames first)."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(12, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+
+    # Per-frame reference session.
+    path1 = str(tmp_path / "pf.sock")
+    t1 = _serve_unix(path1, "slam")
+    c1 = _wait_socket(path1)
+    for i, (ii, zz) in enumerate(frames):
+        c1.send_frame(i / 30.0, ii, zz)
+    final_pf = c1.finish()
+    c1.close()
+    t1.join(timeout=30)
+
+    # Chunked session: pipelined sends, burst replies.
+    path2 = str(tmp_path / "ck.sock")
+    t2 = _serve_unix(path2, "slam", chunk=4)
+    c2 = _wait_socket(path2)
+    for i, (ii, zz) in enumerate(frames):
+        c2.send_frame_nowait(i / 30.0, ii, zz)
+    final_ck = c2.finish()  # flushes the tail; poses land in pose_backlog
+    bursts = c2.pose_backlog
+    c2.close()
+    t2.join(timeout=30)
+
+    assert len(bursts) == len(frames)
+    ts = [m["t"] for m in bursts]
+    assert ts == sorted(ts)
+    assert all(len(m["pose"]) == 16 for m in bursts)
+
+    traj_pf = [np.asarray(e["pose"]).reshape(4, 4)
+               for e in final_pf["trajectory"]]
+    traj_ck = [np.asarray(e["pose"]).reshape(4, 4)
+               for e in final_ck["trajectory"]]
+    assert len(traj_ck) == len(traj_pf) == len(frames)
+    for Ta, Tb in zip(traj_ck, traj_pf):
+        np.testing.assert_allclose(Ta, Tb, atol=5e-5)
+    assert evaluate.ate_rmse(traj_ck, poses) < 0.005
+
+
+def test_live_chunked_force_keyframe_flushes(tmp_path):
+    """force_keyframe mid-stream in chunked mode flushes the buffered
+    frames (their pose messages precede later bursts) and the forced
+    keyframe lands on the next frame."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(10, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+
+    path = str(tmp_path / "ckf.sock")
+    t = _serve_unix(path, "slam", chunk=4)
+    c = _wait_socket(path)
+    for i, (ii, zz) in enumerate(frames):
+        if i == 5:
+            c.command("force_keyframe", expect_reply=False)
+        c.send_frame_nowait(i / 30.0, ii, zz)
+    final = c.finish()
+    bursts = c.pose_backlog
+    c.close()
+    t.join(timeout=30)
+
+    assert len(bursts) == len(frames)
+    by_t = {round(m["t"] * 30): m for m in bursts}
+    assert by_t[5]["keyframe"]
+    assert len(final["trajectory"]) == len(frames)
