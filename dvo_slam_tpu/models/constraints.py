@@ -180,7 +180,36 @@ def dispatch_validation(
     """Dispatch every validation batch WITHOUT fetching results."""
     if not candidates:
         return None
+    import dataclasses
+
     from dvo_slam_tpu.models.pose_graph import bucket
+
+    # Trim pyramid levels below everything validation tracks: with the
+    # default schedules (coarse 3..2, fine 3..1) level 0 is never touched,
+    # yet it is ~75% of a pyramid's bytes — and EVICTED candidates
+    # re-upload from host RAM inside this dispatch, so shipping dead
+    # levels quadruples the re-upload cost of every validation batch past
+    # the residency budget (measured seconds/switch in bench/soak.py).
+    lvl0 = min(coarse_cfg.last_level, fine_cfg.last_level)
+    if lvl0 > 0:
+        keyframe_pyramids = [
+            None if pyr is None else tuple(pyr[lvl0:])
+            for pyr in keyframe_pyramids
+        ]
+        new_pyramid = tuple(new_pyramid[lvl0:])
+        Ks = tuple(Ks[lvl0:])
+        shift = dict(
+            num_levels=coarse_cfg.num_levels - lvl0,
+            first_level=coarse_cfg.first_level - lvl0,
+            last_level=coarse_cfg.last_level - lvl0,
+        )
+        coarse_cfg = dataclasses.replace(coarse_cfg, **shift)
+        fine_cfg = dataclasses.replace(
+            fine_cfg,
+            num_levels=fine_cfg.num_levels - lvl0,
+            first_level=fine_cfg.first_level - lvl0,
+            last_level=fine_cfg.last_level - lvl0,
+        )
 
     # Power-of-two bucketed batch: one dispatch for up to
     # validation_batch_max candidates (bigger batches amortize the

@@ -166,3 +166,56 @@ def test_candidate_cap_keeps_nearest():
     assert len(capped) == 3
     # Nearest three by distance are the newest eligible indices.
     assert capped == sorted(unbounded[-3:])
+
+
+def test_validation_level_trim_equivalence():
+    """dispatch_validation trims pyramid levels below everything the
+    coarse/fine schedules track (level 0 is ~75% of the upload bytes and
+    never touched at default schedules). Accepted constraints must be
+    IDENTICAL to passing pre-trimmed pyramids with shifted configs (the
+    lvl0 == 0 path): same levels, same math, same jit program."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dvo_slam_tpu.config import TrackerConfig
+    from dvo_slam_tpu.ops import camera, pyramid
+    from dvo_slam_tpu.utils import synthetic
+
+    W, H = 64, 48
+    Kt = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(4, radius=0.04)
+    frames = synthetic.render_sequence(scene, np.asarray(Kt), W, H, poses)
+    nl = 3
+    pyrs = [pyramid.build_pyramid(jnp.asarray(i), jnp.asarray(z), nl)
+            for i, z in frames]
+    Ks = camera.pyramid_intrinsics(camera.intrinsics(*Kt), nl)
+    # fine tracks 2..1, coarse 2..2 -> level 0 is dead weight (lvl0=1).
+    fine = TrackerConfig(num_levels=nl, first_level=2, last_level=1,
+                         max_iterations=20)
+    coarse = dataclasses.replace(fine, first_level=2, last_level=2)
+    slam_cfg = dataclasses.replace(SLAM, min_constraint_distance=1)
+    cands = [constraints.ConstraintCandidate(
+        keyframe_idx=k, new_idx=3,
+        T_init=se3_np.inverse(poses[3]) @ poses[k]) for k in range(3)]
+    entropies = [H_KF] * 4
+
+    accepted = constraints.validate_candidates(
+        cands, pyrs[:3], entropies, pyrs[3], Ks, coarse, fine, slam_cfg
+    )
+
+    # Reference: hand-trimmed inputs through the lvl0 == 0 path.
+    shift = dict(num_levels=nl - 1, first_level=1)
+    fine_t = dataclasses.replace(fine, last_level=0, **shift)
+    coarse_t = dataclasses.replace(coarse, last_level=1, **shift)
+    accepted_ref = constraints.validate_candidates(
+        cands, [tuple(p[1:]) for p in pyrs[:3]], entropies,
+        tuple(pyrs[3][1:]), tuple(Ks[1:]), coarse_t, fine_t, slam_cfg
+    )
+
+    assert len(accepted) == len(accepted_ref) > 0
+    for a, b in zip(accepted, accepted_ref):
+        assert a.keyframe_idx == b.keyframe_idx
+        np.testing.assert_array_equal(a.measurement, b.measurement)
+        np.testing.assert_array_equal(a.information, b.information)
