@@ -82,6 +82,9 @@ def main():
                     help="override tdist_scale_warm_iters")
     ap.add_argument("--rows-tile", type=int, default=None,
                     help="override pallas_rows_per_tile")
+    ap.add_argument("--pack12", action="store_true",
+                    help="stream modes: upload depth as 12-bit packed "
+                    "ticks (pack_depth12, 2.5 B/px total instead of 3)")
     ap.add_argument("--gradient-source", default=None,
                     choices=["current", "reference"],
                     help="Jacobian gradient source (reference-frame "
@@ -432,15 +435,20 @@ def _bench_stream(args, cfg, K_t, frames, lc=False):
     n_chunks = (args.frames + chunk - 1) // chunk
 
     # Host-side RAW chunks (what a sensor/dataset loader produces).
+    from dvo_slam_tpu.ops.pyramid import pack_depth12
+
     raw = []
     for c in range(n_chunks):
         sel = [frames[(c * chunk + j) % n_ring] for j in range(chunk)]
         ints = np.stack([s[0] for s in sel])
         deps = np.stack([s[1] for s in sel])
-        raw.append((
-            np.clip(ints, 0, 255).astype(np.uint8),
-            np.nan_to_num(deps * 5000.0, nan=0.0).astype(np.uint16),
-        ))
+        raw_z = np.nan_to_num(deps * 5000.0, nan=0.0).astype(np.uint16)
+        if args.pack12:
+            # 12-bit packed ticks: 1.5 B/px depth on the wire (+-1.6 mm
+            # quantization, far below sensor noise); device-side unpack
+            # fuses into build_pyramid.
+            raw_z = pack_depth12(raw_z)
+        raw.append((np.clip(ints, 0, 255).astype(np.uint8), raw_z))
 
     def staged_chunks():
         # Double-buffered upload: chunk c+1's jax.device_put is issued
@@ -471,7 +479,9 @@ def _bench_stream(args, cfg, K_t, frames, lc=False):
             f"keyframes={len(slam.keyframes)} "
             f"loop_edges={slam.num_loop_edges} "
             f"ms_per_frame={1000 * elapsed / total:.2f} "
-            "(UPLOAD INCLUDED: raw u8/u16 chunks, double-buffered"
+            "(UPLOAD INCLUDED: raw u8/"
+            + ("u12-packed" if args.pack12 else "u16")
+            + " chunks, double-buffered"
             + (", loop closure ON)" if lc else ")"))
     return total / elapsed, note
 

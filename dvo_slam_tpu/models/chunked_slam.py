@@ -124,7 +124,9 @@ class ChunkedKeyframeSlam(KeyframeSlam):
         finish/reset/trajectory/export/checkpoint drain the queue first.
         """
         raw_i = getattr(intensities, "dtype", None) == np.uint8
-        raw_z = getattr(depths, "dtype", None) == np.uint16
+        # uint16 = raw ticks; uint8 = 12-bit packed ticks (pack_depth12,
+        # 1.5 B/px on the wire) — both unpack on device in build_pyramid.
+        raw_z = getattr(depths, "dtype", None) in (np.uint16, np.uint8)
         intensities = jnp.asarray(
             intensities, None if raw_i else jnp.float32
         )

@@ -290,7 +290,9 @@ class KeyframeSlam:
              jnp.asarray(odo_init, jnp.float32)]
         )
         raw_i = getattr(intensity, "dtype", None) == np.uint8
-        raw_z = getattr(depth, "dtype", None) == np.uint16
+        # uint16 = raw ticks; uint8 = 12-bit packed (pack_depth12) — both
+        # convert on device inside the fused step's build_pyramid.
+        raw_z = getattr(depth, "dtype", None) in (np.uint16, np.uint8)
         pyr, res = _slam_frame_step(
             jnp.asarray(intensity, None if raw_i else jnp.float32),
             jnp.asarray(depth, None if raw_z else jnp.float32),
@@ -474,10 +476,11 @@ class KeyframeSlam:
     # ------------------------------------------------------------------
 
     def _build_pyramid(self, intensity, depth):
-        # Raw sensor dtypes (uint8 intensity / uint16 depth) pass through;
-        # build_pyramid converts on device (streaming uploads stay raw).
+        # Raw sensor dtypes (uint8 intensity / uint16 depth / uint8
+        # 12-bit-packed depth) pass through; build_pyramid converts on
+        # device (streaming uploads stay raw).
         raw_i = getattr(intensity, "dtype", None) == np.uint8
-        raw_z = getattr(depth, "dtype", None) == np.uint16
+        raw_z = getattr(depth, "dtype", None) in (np.uint16, np.uint8)
         return _build_pyramid_jit(
             jnp.asarray(intensity, None if raw_i else jnp.float32),
             jnp.asarray(depth, None if raw_z else jnp.float32),

@@ -114,9 +114,15 @@ class OdometryTracker:
         self._T_w = np.eye(4) if T0 is None else np.asarray(T0, np.float64)
 
     def update(self, intensity, depth, timestamp: float) -> np.ndarray:
-        """Track one frame; returns the current world pose (4, 4) f64."""
-        intensity = jnp.asarray(intensity, jnp.float32)
-        depth = jnp.asarray(depth, jnp.float32)
+        """Track one frame; returns the current world pose (4, 4) f64.
+
+        Raw sensor dtypes (uint8 intensity / uint16 depth ticks / uint8
+        12-bit-packed depth) pass through; build_pyramid converts on
+        device so streaming uploads stay raw (2.5-3 B/px, not 8)."""
+        raw_i = getattr(intensity, "dtype", None) == np.uint8
+        raw_z = getattr(depth, "dtype", None) in (np.uint16, np.uint8)
+        intensity = jnp.asarray(intensity, None if raw_i else jnp.float32)
+        depth = jnp.asarray(depth, None if raw_z else jnp.float32)
         if self._prev_pyr is None:
             self._prev_pyr = pyramid.build_pyramid(
                 intensity, depth, self.cfg.num_levels

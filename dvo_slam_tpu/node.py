@@ -11,9 +11,19 @@ same control surface the nodes expose (reset, force-keyframe, finish).
 Wire protocol (newline-delimited JSON headers, raw payloads):
 
   client -> server, per frame:
-      {"t": <timestamp>, "w": W, "h": H}\n
-      W*H*4 bytes  float32 little-endian intensity (0..255)
-      W*H*4 bytes  float32 little-endian depth (meters, NaN invalid)
+      {"t": <timestamp>, "w": W, "h": H, "enc": "f32"|"raw"|"raw12"}\n
+      enc "f32" (default, omitted for backward compat):
+          W*H*4 bytes  float32 LE intensity (0..255)
+          W*H*4 bytes  float32 LE depth (meters, NaN invalid)
+      enc "raw" (sensor-native, 3 B/px — 2.7x less socket AND
+      host->device traffic; conversion happens ON DEVICE):
+          W*H bytes    uint8 intensity
+          W*H*2 bytes  uint16 LE raw depth ticks (TUM 5000/m, 0 invalid)
+      enc "raw12" (minimum bandwidth, 2.5 B/px; depth 12-bit packed by
+      ops.pyramid.pack_depth12, +-1.6 mm quantization — far below sensor
+      noise; device-side unpack fuses into the pyramid build):
+          W*H bytes      uint8 intensity
+          H*(3*W/2) bytes packed depth (W must be even)
   client -> server, control:
       {"cmd": "force_keyframe"}\n | {"cmd": "reset"}\n |
       {"cmd": "finish"}\n  (server replies with the full trajectory and
@@ -262,6 +272,15 @@ class SlamNode:
             from dvo_slam_tpu.utils.visualization import point_cloud_from_rgbd
 
             intensity, depth = frame
+            # Raw-encoded sessions ("raw"/"raw12") carry sensor-native
+            # dtypes; the cloud needs metric depth. Host conversion here
+            # touches only keyframes with cloud/viz consumers attached.
+            if depth.dtype == np.uint16:
+                depth = np.where(depth > 0, depth / 5000.0, np.nan)
+            elif depth.dtype == np.uint8:
+                from dvo_slam_tpu.ops.pyramid import unpack_depth12
+                depth = np.asarray(
+                    unpack_depth12(depth, intensity.shape[-1]))
             pts, colors = point_cloud_from_rgbd(
                 intensity, depth, self._K, np.asarray(pose), stride=8
             )
@@ -486,12 +505,33 @@ def serve_connection(sock: socket.socket, node: SlamNode,
             # (silent desync), and a huge one is an unbounded allocation.
             if not (0 < w <= 16384 and 0 < h <= 16384):
                 raise ConnectionError(f"implausible frame dims {w}x{h}")
-            intensity = np.frombuffer(
-                _read_exact(rfile, w * h * 4), "<f4"
-            ).reshape(h, w)
-            depth = np.frombuffer(
-                _read_exact(rfile, w * h * 4), "<f4"
-            ).reshape(h, w)
+            enc = header.get("enc", "f32")
+            if enc == "f32":
+                intensity = np.frombuffer(
+                    _read_exact(rfile, w * h * 4), "<f4"
+                ).reshape(h, w)
+                depth = np.frombuffer(
+                    _read_exact(rfile, w * h * 4), "<f4"
+                ).reshape(h, w)
+            elif enc in ("raw", "raw12"):
+                # Sensor-native payloads stay raw end to end: the engines
+                # pass uint8/uint16/packed-uint8 through to the device,
+                # where build_pyramid converts (node.py is transport only).
+                intensity = np.frombuffer(
+                    _read_exact(rfile, w * h), np.uint8
+                ).reshape(h, w)
+                if enc == "raw":
+                    depth = np.frombuffer(
+                        _read_exact(rfile, w * h * 2), "<u2"
+                    ).reshape(h, w)
+                else:
+                    if w % 2:
+                        raise ConnectionError("raw12 needs even width")
+                    depth = np.frombuffer(
+                        _read_exact(rfile, h * (3 * w // 2)), np.uint8
+                    ).reshape(h, 3 * w // 2)
+            else:
+                raise ConnectionError(f"unknown frame enc {enc!r}")
             for msg in node.handle_frame(float(header["t"]), intensity,
                                          depth):
                 sock.sendall((json.dumps(msg) + "\n").encode())
@@ -613,21 +653,48 @@ class StreamClient:
         s.connect(path)
         return cls(s)
 
-    def send_frame(self, t, intensity, depth) -> dict:
+    def send_frame(self, t, intensity, depth, enc="f32") -> dict:
         """Send one frame and await its pose reply (per-frame servers
         ONLY — a chunked server replies in bursts; use send_frame_nowait
         + recv_msg there or this blocks until the chunk completes)."""
-        self.send_frame_nowait(t, intensity, depth)
+        self.send_frame_nowait(t, intensity, depth, enc=enc)
         return self.recv_msg()
 
-    def send_frame_nowait(self, t, intensity, depth) -> None:
+    def send_frame_nowait(self, t, intensity, depth, enc="f32") -> None:
         """Send one frame without awaiting a reply (chunked servers reply
-        in bursts; TCP buffers the pipeline)."""
+        in bursts; TCP buffers the pipeline).
+
+        enc "f32" sends metric float frames (8 B/px). enc "raw" sends
+        sensor-native uint8 intensity + uint16 depth ticks (3 B/px —
+        operands must already be those dtypes, e.g. straight from the
+        dataset loader). enc "raw12" additionally packs depth to 12 bits
+        (2.5 B/px): pass uint16 ticks (packed here) or an already-packed
+        (H, 3*W/2) uint8 plane."""
         h, w = intensity.shape
-        header = json.dumps({"t": float(t), "w": w, "h": h}) + "\n"
+        if enc == "f32":
+            payload = (np.ascontiguousarray(intensity, "<f4").tobytes()
+                       + np.ascontiguousarray(depth, "<f4").tobytes())
+        elif enc in ("raw", "raw12"):
+            assert intensity.dtype == np.uint8, intensity.dtype
+            if enc == "raw":
+                assert depth.dtype == np.uint16, depth.dtype
+                zb = np.ascontiguousarray(depth, "<u2").tobytes()
+            else:
+                if depth.dtype == np.uint16:
+                    from dvo_slam_tpu.ops.pyramid import pack_depth12
+                    depth = pack_depth12(depth)
+                assert depth.dtype == np.uint8 and \
+                    depth.shape == (h, 3 * w // 2), depth.shape
+                zb = np.ascontiguousarray(depth).tobytes()
+            payload = np.ascontiguousarray(intensity).tobytes() + zb
+        else:
+            raise ValueError(f"unknown enc {enc!r}")
+        header = json.dumps(
+            {"t": float(t), "w": w, "h": h}
+            | ({} if enc == "f32" else {"enc": enc})
+        ) + "\n"
         self.sock.sendall(header.encode())
-        self.sock.sendall(np.ascontiguousarray(intensity, "<f4").tobytes())
-        self.sock.sendall(np.ascontiguousarray(depth, "<f4").tobytes())
+        self.sock.sendall(payload)
 
     def recv_msg(self) -> dict:
         """Read the next server message (pose burst element, command

@@ -97,6 +97,10 @@ def build_pyramid(intensity, depth, num_levels):
     bytes/pixel instead of 8 (f32 pair), which matters when host->device
     bandwidth bounds the pipeline (docs/performance.md).
     """
+    if depth.dtype == jnp.uint8:
+        # 12-bit packed raw depth (pack_depth12): 1.5 bytes/pixel on the
+        # wire instead of 2. Width comes from the intensity image.
+        depth = unpack_depth12(depth, intensity.shape[-1])
     if intensity.dtype == jnp.uint8:
         intensity = intensity.astype(jnp.float32)
     if depth.dtype == jnp.uint16:
@@ -120,3 +124,67 @@ def convert_raw_depth(raw_u16, scale=5000.0):
     """
     d = raw_u16.astype(jnp.float32)
     return jnp.where(d > 0, d / scale, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit packed raw depth (streaming-upload transport format).
+#
+# The stream pipeline is host->device bandwidth bound over remoted chips
+# (docs/performance.md): raw u8 intensity + u16 depth is 3 bytes/pixel and
+# depth is 2/3 of that. Kinect/TUM raw ticks span 0..65535 (5000/m = 13.1 m)
+# but 12 bits at 16-tick granularity cover the same range at +-1.6 mm
+# quantization — far below the sensor's own noise (>=2-4 mm past 1 m) and
+# two orders below the system's ATE. Packing halves of each ROW (left half
+# = value a, right half = value b; (a, b) -> 3 bytes) keeps every plane a
+# clean (H, W/2) lane layout on TPU — no size-3 minor dim, no per-pixel
+# interleave: the unpack is two shifts, two ors, and one lane concat.
+#
+# Wire layout (H, 3*W/2) u8, three planes along width:
+#   plane0 = a >> 4            (high 8 bits of left-half values)
+#   plane1 = (a & 0xF) << 4 | b >> 8
+#   plane2 = b & 0xFF
+# Zero ticks (invalid) stay exactly zero; nonzero ticks never quantize to
+# zero (clamped to >=1), so validity is preserved bit-exactly.
+# ---------------------------------------------------------------------------
+
+PACK12_TICK = 16  # raw ticks per 12-bit unit
+
+
+def pack_depth12(raw_u16):
+    """HOST-side: (…, H, W) uint16 raw depth -> (…, H, 3*W/2) uint8.
+
+    numpy in, numpy out (this runs in the ingest thread, next to the PNG
+    decoder); W must be even. Inverse (up to 16-tick quantization) is
+    unpack_depth12 on device.
+    """
+    import numpy as np
+
+    raw = np.asarray(raw_u16)
+    assert raw.dtype == np.uint16, raw.dtype
+    w = raw.shape[-1]
+    assert w % 2 == 0, f"pack_depth12 needs even width, got {w}"
+    q = np.right_shift(raw.astype(np.uint32) + PACK12_TICK // 2, 4)
+    q = np.minimum(q, 4095)
+    q = np.where((raw > 0) & (q == 0), 1, q)  # keep validity bit-exact
+    a, b = q[..., : w // 2], q[..., w // 2:]
+    return np.concatenate(
+        [a >> 4, ((a & 0xF) << 4) | (b >> 8), b & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def unpack_depth12(packed_u8, width, scale=5000.0):
+    """DEVICE-side: (…, H, 3*W/2) uint8 -> (…, H, W) metric f32 depth.
+
+    Jittable; 0 -> NaN like convert_raw_depth. `width` is the target W
+    (static). Fuses into build_pyramid's slab construction under jit.
+    """
+    w2 = width // 2
+    assert packed_u8.shape[-1] == 3 * w2, (packed_u8.shape, width)
+    p = packed_u8.astype(jnp.int32)
+    p0 = p[..., :w2]
+    p1 = p[..., w2: 2 * w2]
+    p2 = p[..., 2 * w2:]
+    a = (p0 << 4) | (p1 >> 4)
+    b = ((p1 & 0xF) << 8) | p2
+    q = jnp.concatenate([a, b], axis=-1).astype(jnp.float32)
+    return jnp.where(q > 0, q * (PACK12_TICK / scale), jnp.nan)

@@ -439,3 +439,35 @@ def test_collect_without_submit_raises_clear_error():
     slam.init()
     with pytest.raises(RuntimeError, match="no submitted chunk"):
         slam.collect_chunk()
+
+
+def test_packed_depth_chunks_match_u16():
+    """12-bit packed depth chunks (pack_depth12 — the minimum-bandwidth
+    streaming upload format, 2.5 B/px total) must track equivalently to
+    u16 raw chunks: identical keyframe cadence, poses within the depth
+    quantization noise (+-1.6 mm per pixel)."""
+    from dvo_slam_tpu.ops import pyramid as pyr_mod
+
+    seq_i, seq_z, ts, _ = _sequence()
+    raw_i = np.clip(np.round(seq_i), 0, 255).astype(np.uint8)
+    raw_z = np.nan_to_num(seq_z * 5000.0, nan=0.0).astype(np.uint16)
+    packed_z = pyr_mod.pack_depth12(raw_z)
+    assert packed_z.shape == (raw_z.shape[0], raw_z.shape[1],
+                              3 * raw_z.shape[2] // 2)
+
+    def run(zz):
+        slam = ChunkedKeyframeSlam(K, TRACKER, SLAM)
+        slam.init()
+        poses = []
+        for k in range(0, len(ts), 4):
+            poses.extend(slam.update_chunk(raw_i[k:k + 4], zz[k:k + 4],
+                                           ts[k:k + 4]))
+        return slam, poses
+
+    slam_p, poses_p = run(packed_z)
+    slam_r, poses_r = run(raw_z)
+    assert [k.idx for k in slam_p.keyframes] == \
+           [k.idx for k in slam_r.keyframes]
+    for Tp, Tr in zip(poses_p, poses_r):
+        np.testing.assert_allclose(Tp[:3, 3], Tr[:3, 3], atol=2e-3)
+        np.testing.assert_allclose(Tp[:3, :3], Tr[:3, :3], atol=1e-2)

@@ -92,3 +92,53 @@ def test_convert_raw_depth():
     np.testing.assert_allclose(d[0, 1], 1.0)
     np.testing.assert_allclose(d[1, 0], 2.0)
     np.testing.assert_allclose(d[1, 1], 0.5)
+
+
+def test_pack_depth12_roundtrip():
+    """pack_depth12 (host) -> unpack_depth12 (device) reconstructs metric
+    depth to the 16-tick quantization bound (+-1.6 mm at 5000 ticks/m),
+    preserves validity bit-exactly (0 -> NaN, nonzero stays valid across
+    the whole u16 range), and clamps at the 12-bit ceiling."""
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 65536, (32, 40)).astype(np.uint16)
+    raw[0, :7] = 0  # invalid pixels
+    raw[1, 0] = 1  # smallest valid tick must stay valid
+    raw[1, 1] = 65535  # clamps to 4095 * 16 = 65520 ticks
+    packed = pyramid.pack_depth12(raw)
+    assert packed.dtype == np.uint8 and packed.shape == (32, 60)
+    d = np.asarray(pyramid.unpack_depth12(jnp.asarray(packed), 40))
+    assert d.shape == (32, 40)
+    invalid = raw == 0
+    assert np.isnan(d[invalid]).all()
+    assert np.isfinite(d[~invalid]).all()
+    expect = np.minimum((raw.astype(np.int64) + 8) >> 4 << 4, 65520)
+    expect = np.maximum(expect, 16 * (raw > 0))  # validity clamp
+    np.testing.assert_allclose(
+        d[~invalid], expect[~invalid] / 5000.0, rtol=0, atol=1e-6
+    )
+    # Quantization never exceeds half a tick unit, except the 12-bit clamp
+    # tail (>65520) and sub-16-tick values clamped up for validity (both
+    # non-physical: 3.2 mm and 13.1 m at TUM's 5000 ticks/m).
+    err = np.abs(d[~invalid] * 5000.0 - raw[~invalid])
+    mid = (raw[~invalid] >= 16) & (raw[~invalid] <= 65520)
+    assert (err[mid] <= 8.01).all()
+
+
+def test_build_pyramid_accepts_packed_depth():
+    """A uint8 depth operand is auto-detected as 12-bit packed: the pyramid
+    matches one built from the equivalent quantized u16 raw depth."""
+    rng = np.random.default_rng(3)
+    intensity = rng.uniform(0, 255, (32, 40)).astype(np.float32)
+    raw = (rng.uniform(0, 4.0, (32, 40)) * 5000).astype(np.uint16)
+    raw[2, 3] = 0
+    packed = pyramid.pack_depth12(raw)
+    pyr_packed = pyramid.build_pyramid(intensity, jnp.asarray(packed), 3)
+    # Reconstruct the quantized ticks the packed path sees.
+    q16 = np.minimum((raw.astype(np.int64) + 8) >> 4, 4095)
+    q16 = np.maximum(q16, raw > 0).astype(np.uint16)
+    ref_z = np.where(q16 > 0, q16 * 16 / 5000.0, np.nan).astype(np.float32)
+    pyr_ref = pyramid.build_pyramid(intensity, jnp.asarray(ref_z), 3)
+    for a, b in zip(pyr_packed, pyr_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), equal_nan=True, atol=1e-6
+        )

@@ -453,3 +453,45 @@ def test_live_chunked_force_keyframe_flushes(tmp_path):
     by_t = {round(m["t"] * 30): m for m in bursts}
     assert by_t[5]["keyframe"]
     assert len(final["trajectory"]) == len(frames)
+
+
+@pytest.mark.parametrize("enc", ["raw", "raw12"])
+def test_live_raw_wire_encodings(tmp_path, enc):
+    """Sensor-native wire encodings ("raw" u8+u16 = 3 B/px, "raw12"
+    u8+12-bit-packed = 2.5 B/px vs f32's 8) stream end to end: payloads
+    stay raw through the socket AND the host->device upload (build_pyramid
+    converts on device), trajectories match the f32 session to the depth
+    quantization bound, and keyframe clouds (host-side metric conversion)
+    stay finite."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(8, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+    raw_frames = [
+        (np.clip(np.round(ii), 0, 255).astype(np.uint8),
+         np.nan_to_num(zz * 5000.0, nan=0.0).astype(np.uint16))
+        for ii, zz in frames
+    ]
+
+    def run(send_frames, enc):
+        path = str(tmp_path / f"{enc}.sock")
+        t = _serve_unix(path, "slam", publish_clouds=True)
+        c = _wait_socket(path)
+        msgs = [c.send_frame(i / 30.0, ii, zz, enc=enc)
+                for i, (ii, zz) in enumerate(send_frames)]
+        final = c.finish()
+        c.close()
+        t.join(timeout=30)
+        return msgs, [np.asarray(e["pose"]).reshape(4, 4)
+                      for e in final["trajectory"]]
+
+    msgs, traj = run(raw_frames, enc)
+    assert msgs[0]["keyframe"] and "cloud" in msgs[0]
+    pts = np.asarray(msgs[0]["cloud"]["points"])
+    assert np.isfinite(pts).all() and len(pts) >= 40
+    # Raw u8 intensity quantization costs a little accuracy vs the f32
+    # wire; both must still track groundtruth tightly.
+    assert evaluate.ate_rmse(traj, poses) < 0.005
+
+    _, traj_f32 = run(frames, "f32")
+    for Tr, Tf in zip(traj, traj_f32):
+        np.testing.assert_allclose(Tr[:3, 3], Tf[:3, 3], atol=2e-3)
