@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--pack12", action="store_true",
                     help="stream modes: upload depth as 12-bit packed "
                     "ticks (pack_depth12, 2.5 B/px total instead of 3)")
+    ap.add_argument("--enc", default="f32",
+                    choices=["f32", "raw", "raw12"],
+                    help="live modes: wire/upload encoding (f32 8 B/px, "
+                    "raw u8+u16 3 B/px, raw12 2.5 B/px)")
     ap.add_argument("--gradient-source", default=None,
                     choices=["current", "reference"],
                     help="Jacobian gradient source (reference-frame "
@@ -367,6 +371,21 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
     n_ring = len(frames)
     chunk = args.chunk
 
+    if args.enc == "f32":
+        send_frames = frames
+    else:
+        # Sensor-native wire payloads (u8 intensity + u16/12-bit-packed
+        # depth ticks) stay raw through the socket AND the device upload.
+        from dvo_slam_tpu.ops.pyramid import pack_depth12
+
+        send_frames = []
+        for ii, zz in frames:
+            raw_z = np.nan_to_num(zz * 5000.0, nan=0.0).astype(np.uint16)
+            if args.enc == "raw12":
+                raw_z = pack_depth12(raw_z)
+            send_frames.append(
+                (np.clip(ii, 0, 255).astype(np.uint8), raw_z))
+
     def run_session(sock_path):
         client = None
         for _ in range(200):
@@ -378,8 +397,9 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
         assert client is not None, "node did not come up"
         t0 = time.perf_counter()
         for i in range(args.frames):
-            ii, zz = frames[i % n_ring]
-            client.send_frame_nowait(100.0 + i / 30.0, ii, zz)
+            ii, zz = send_frames[i % n_ring]
+            client.send_frame_nowait(100.0 + i / 30.0, ii, zz,
+                                     enc=args.enc)
         final = client.finish()  # flushes; poses land in pose_backlog
         elapsed = time.perf_counter() - t0
         n_msgs = len(client.pose_backlog)
@@ -406,7 +426,7 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
     assert n_msgs == args.frames, (n_msgs, args.frames)
     assert n_traj == args.frames, n_traj
     note = (f"elapsed={elapsed:.3f}s chunk={chunk} socket-session "
-            f"pose_msgs={n_msgs} "
+            f"pose_msgs={n_msgs} enc={args.enc} "
             f"ms_per_frame={1000 * elapsed / args.frames:.2f} "
             "(full live node: socket + chunked engine"
             + (", loop closure ON)" if lc else ")"))

@@ -317,6 +317,13 @@ class SlamConfig:
     # ones spill to host RAM and re-upload inside loop-closure validation
     # batches on candidacy.
     resident_keyframes: int = 64
+    # LRU device cache for re-uploaded EVICTED validation candidates
+    # (level-trimmed, ~2.4 MB each at 640x480 defaults). On revisit-heavy
+    # trajectories consecutive keyframe switches propose nearly the same
+    # candidate set, so without the cache every switch re-uploads the
+    # same spilled pyramids (bench/soak.py measured this as the dominant
+    # per-switch cost past the residency budget). 0 disables.
+    validation_cache_slots: int = 48
 
     # --- tracker configs used by the SLAM layer ---
     # Coarse validation tracks only the coarsest levels; fine validation

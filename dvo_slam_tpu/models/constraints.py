@@ -176,8 +176,21 @@ def dispatch_validation(
     coarse_cfg: TrackerConfig,
     fine_cfg: TrackerConfig,
     slam_cfg: SlamConfig,
+    pyramid_keys=None,
+    device_cache=None,
 ) -> Optional[PendingValidation]:
-    """Dispatch every validation batch WITHOUT fetching results."""
+    """Dispatch every validation batch WITHOUT fetching results.
+
+    pyramid_keys / device_cache: optional LRU cache of re-uploaded
+    EVICTED candidate pyramids (level-trimmed device tuples). Keyframe
+    pyramids are immutable after creation, so entries never go stale;
+    the caller provides stable identity keys (one per keyframe — e.g.
+    (idx, timestamp), which survives index reuse across reset()) and an
+    OrderedDict to mutate. Bounded at slam_cfg.validation_cache_slots
+    entries (~2.4 MB each at 640x480 defaults). Without it, on
+    revisit-heavy trajectories every switch re-uploads nearly the same
+    spilled candidate set (the dominant per-switch cost in bench/soak.py
+    past the residency budget)."""
     if not candidates:
         return None
     import dataclasses
@@ -210,6 +223,26 @@ def dispatch_validation(
             first_level=fine_cfg.first_level - lvl0,
             last_level=fine_cfg.last_level - lvl0,
         )
+
+    # Candidate pyramids living on HOST (evicted): serve from / fill the
+    # LRU device cache so consecutive switches don't re-upload the same
+    # spilled pyramids. Cache entries are the TRIMMED level tuples (the
+    # upload the dispatch would otherwise do itself).
+    slots = slam_cfg.validation_cache_slots
+    if device_cache is not None and pyramid_keys is not None and slots > 0:
+        keyframe_pyramids = list(keyframe_pyramids)
+        for k in {c.keyframe_idx for c in candidates}:
+            pyr = keyframe_pyramids[k]
+            if pyr is None or not isinstance(pyr[0], np.ndarray):
+                continue  # resident (device) — no upload to cache
+            key = (pyramid_keys[k], lvl0)
+            if key in device_cache:
+                device_cache.move_to_end(key)
+            else:
+                device_cache[key] = jax.device_put(tuple(pyr))
+                while len(device_cache) > slots:
+                    device_cache.popitem(last=False)
+            keyframe_pyramids[k] = device_cache[key]
 
     # Power-of-two bucketed batch: one dispatch for up to
     # validation_batch_max candidates (bigger batches amortize the

@@ -222,6 +222,14 @@ class KeyframeSlam:
         # a ~10 MB pyramid download (VERDICT r3 #4).
         self._pending_evictions: List[Keyframe] = []
 
+        # LRU device cache of re-uploaded EVICTED validation candidates
+        # (level-trimmed; see constraints.dispatch_validation). Keyed by
+        # (idx, timestamp) — stable across reset()'s index reuse; pyramid
+        # contents are immutable so entries never go stale.
+        import collections
+
+        self._validation_cache = collections.OrderedDict()
+
         # Windowed local map for the active keyframe (reference LocalMap).
         self._local_map = local_map.LocalMap(slam_cfg.local_map_capacity)
 
@@ -768,6 +776,8 @@ class KeyframeSlam:
             self.coarse_cfg,
             self.fine_cfg,
             self.slam_cfg,
+            pyramid_keys=[(kf.idx, kf.timestamp) for kf in self.keyframes],
+            device_cache=self._validation_cache,
         )
 
     def _optimize(self, iterations: int):

@@ -489,3 +489,42 @@ def test_mask_outlier_edges_vectorized_at_scale():
     assert all(slam.graph.edge_mask[k] for k in range(M - 1))
     # Vectorized: well under the old per-edge loop's ~90 ms at this size.
     assert dt < 0.25, f"masking took {dt*1e3:.1f} ms at {E} edges"
+
+
+def test_validation_cache_equivalence_and_bound():
+    """The LRU device cache for re-uploaded evicted validation candidates
+    (SlamConfig.validation_cache_slots) must be transparent: identical
+    loop edges and trajectory vs validation_cache_slots=0 (every batch
+    re-uploads), while staying within its slot bound."""
+    def run(slots):
+        cfg = dataclasses.replace(
+            SLAM, max_keyframes=4, resident_keyframes=2,
+            min_constraint_distance=3, validation_cache_slots=slots,
+        )
+        scene = synthetic.two_plane_scene()
+        poses = synthetic.orbit_trajectory(12, radius=0.06)
+        frames = synthetic.render_sequence(
+            scene, np.asarray(K_TUPLE), W, H, poses)
+        slam = KeyframeSlam(K_TUPLE, TRACKER, cfg, enable_loop_closure=True)
+        slam.init(poses[0])
+        for i, (intensity, depth) in enumerate(frames):
+            if i > 0:
+                slam.force_keyframe()
+            slam.update(intensity, depth, i / 30.0)
+        traj = slam.finish()
+        E = int(slam.graph.num_edges)
+        edges = {(int(slam.graph.edge_i[e]), int(slam.graph.edge_j[e]))
+                 for e in range(E)}
+        return slam, edges, [T for _, T in traj]
+
+    slam_c, edges_c, traj_c = run(48)
+    assert slam_c.num_loop_edges >= 1
+    assert 0 < len(slam_c._validation_cache) <= 48
+    # Evicted candidates were served from cache (keys are evicted kfs).
+    assert all(isinstance(k[0], tuple) for k in slam_c._validation_cache)
+
+    slam_0, edges_0, traj_0 = run(0)
+    assert len(slam_0._validation_cache) == 0
+    assert edges_c == edges_0
+    for Tc, T0 in zip(traj_c, traj_0):
+        np.testing.assert_allclose(Tc, T0, atol=1e-9)
