@@ -93,6 +93,13 @@ def main():
                     choices=["current", "reference"],
                     help="Jacobian gradient source (reference-frame "
                     "gradients sample 2.3x fewer channels per iteration)")
+    ap.add_argument("--point-budget", type=float, default=None,
+                    help="point_budget_fraction: compact selected points "
+                    "to this fraction of each level (0 = full-grid mask)")
+    ap.add_argument("--grad-threshold", type=float, default=None,
+                    help="intensity_grad_threshold: select only pixels "
+                    "with |grad I| above this (the real-data sparse-"
+                    "selection regime compaction exists for)")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +123,10 @@ def main():
         kw["pallas_rows_per_tile"] = args.rows_tile
     if args.gradient_source is not None:
         kw["gradient_source"] = args.gradient_source
+    if args.point_budget is not None:
+        kw["point_budget_fraction"] = args.point_budget
+    if args.grad_threshold is not None:
+        kw["intensity_grad_threshold"] = args.grad_threshold
     cfg = TrackerConfig(sampler_backend="pallas" if on_tpu else "gather", **kw)
     K_t = (525.0 * W / 640.0, 525.0 * H / 480.0, (W - 1) / 2.0, (H - 1) / 2.0)
     Ks = camera.pyramid_intrinsics(camera.intrinsics(*K_t), cfg.num_levels)

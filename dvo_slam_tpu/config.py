@@ -170,6 +170,35 @@ class TrackerConfig:
     #                 23.3 mm) — a speed/accuracy knob, default off.
     gradient_source: str = "current"
 
+    # Point compaction (round 4; the reference's own trick — PointSelection
+    # materializes COMPACTED per-level arrays of selected points,
+    # dvo_core/src/core/point_selection.cpp — whereas this rebuild's
+    # default is a mask over the full grid, SURVEY.md §8.1). With a budget
+    # fraction f > 0, prepare_reference compacts the selected points
+    # (stable row-major order, so spatial locality survives for the pallas
+    # window sampler) into a static bucket of round_up(f * N) slots per
+    # level; every per-iteration cost that scales with point count — the
+    # one-hot sampling matmul AND its VPU one-hot construction (the
+    # measured dominant cost), the warp, the Jacobian planes, the fused
+    # (6,2N)x(2N,6) contraction — shrinks by ~f. When more points pass
+    # selection than the budget holds, they are decimated UNIFORMLY in
+    # row-major order (monotone stable subsample — never a top-of-image
+    # truncation); when fewer, the tail is padded with replicas of the
+    # last point, masked unselected. 0 disables (exact reference-parity
+    # masking semantics: every valid pixel contributes). Pays on real
+    # data (depth holes, gradient thresholds); a no-op win on dense
+    # synthetic frames only with thresholds enabled. Deviation ledger:
+    # docs/fr1_desk_protocol.md (decimation when budget < selected).
+    point_budget_fraction: float = 0.0
+    # Flat-tile row window for the pallas sampler under compaction: the
+    # assumed reference-row span of one 2048-point tile. 0 = auto
+    # (ceil(2048 / (point_budget_fraction * W)) — exact when selection
+    # density ~= the budget fraction; sparser selections spread over more
+    # rows and lose points to window misses, which TrackStats.window_miss
+    # surfaces and pallas_miss_escalate rescues). Set explicitly when the
+    # selection density is known to differ from the budget.
+    pallas_compact_window_rows: int = 0
+
     # Levenberg-Marquardt damping. 0 disables (pure Gauss-Newton with
     # error-increase rollback, the reference behaviour); >0 enables the
     # adaptive-lambda LM loop (BASELINE.json config #3).
@@ -194,6 +223,11 @@ class TrackerConfig:
             raise ValueError(
                 f"unknown gradient source {self.gradient_source!r} "
                 "(expected 'current' or 'reference')"
+            )
+        if not (0.0 <= self.point_budget_fraction <= 1.0):
+            raise ValueError(
+                "point_budget_fraction must be in [0, 1], got "
+                f"{self.point_budget_fraction}"
             )
         if not (0 <= self.last_level <= self.first_level < self.num_levels):
             raise ValueError(

@@ -118,7 +118,76 @@ def prepare_reference(ref_slab, K, cfg: TrackerConfig, row_offset=0) -> RefData:
     z_safe = jnp.where(selected, z, 1.0)
     px = (u - cx) / fx * z_safe
     py = (v - cy) / fy * z_safe
-    return RefData(px=px, py=py, pz=z_safe, i1=i1, selected=selected, **grads)
+    ref = RefData(px=px, py=py, pz=z_safe, i1=i1, selected=selected, **grads)
+    if cfg.point_budget_fraction > 0.0:
+        tile = (_COMPACT_TILE_PALLAS if cfg.sampler_backend == "pallas"
+                else _COMPACT_TILE_GATHER)
+        ref = compact_reference(
+            ref, compact_budget(px.shape[0], cfg.point_budget_fraction, tile)
+        )
+    return ref
+
+
+# Points per flat sampling tile under compaction (pallas path): 16
+# sublanes x 128 lanes of output per grid step; the gather path only
+# needs lane alignment.
+_COMPACT_TILE_PALLAS = 2048
+_COMPACT_TILE_GATHER = 128
+
+
+def compact_budget(n_points: int, frac: float, tile: int) -> int:
+    """Static slot count for compact_reference: round_up(frac * n) to a
+    tile multiple, at least one tile, never more than a tile-rounded n."""
+    want = max(int(np.ceil(frac * n_points)), 1)
+    up = lambda x: ((x + tile - 1) // tile) * tile
+    return min(up(want), up(n_points))
+
+
+def compact_reference(ref: RefData, budget: int) -> RefData:
+    """Compact a full-grid RefData to `budget` slots of selected points.
+
+    The reference materializes compacted per-level arrays of selected
+    points (dvo_core/src/core/point_selection.cpp PointSelection); this
+    rebuild's default is a mask over the full grid (SURVEY.md §8.1) — an
+    O(N)-per-iteration cost even when thresholds select a small fraction.
+    This is the bridge: a STABLE compaction (cumsum ranks + scatter), so
+    points stay in row-major order and consecutive points still span few
+    image rows — the locality the pallas flat-tile window sampler needs.
+
+    Semantics vs the full grid (deviation ledger, fr1_desk_protocol.md):
+      * selected count <= budget: identical point set, reductions merely
+        reordered (results equal to accumulation tolerance).
+      * selected count >  budget: points are decimated UNIFORMLY in
+        row-major order (slot j takes the floor(j*count/budget)-th
+        selected point — monotone, spatially even; never a top-of-image
+        truncation).
+    Unused tail slots replicate the LAST selected point, masked
+    unselected — replicas keep per-tile mean warped coordinates (the
+    pallas window origins) anchored to real data instead of dragging
+    them toward an arbitrary fill value.
+    """
+    n = ref.px.shape[0]
+    sel = ref.selected
+    ranks = jnp.cumsum(sel.astype(jnp.int32))
+    count = ranks[-1]
+    # order[r] = index of the r-th selected point (r < count). Unselected
+    # points scatter out of bounds and are dropped.
+    pos = jnp.where(sel, ranks - 1, n)
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    j = jnp.arange(budget, dtype=jnp.int32)
+    take = jnp.where(count > budget, (j * count) // budget, j)
+    take = jnp.minimum(take, jnp.maximum(count - 1, 0))
+    idx = order[take]
+    slot_sel = j < jnp.minimum(count, budget)
+    grab = lambda a: None if a is None else a[idx]
+    return RefData(
+        px=ref.px[idx], py=ref.py[idx], pz=ref.pz[idx], i1=ref.i1[idx],
+        selected=slot_sel,
+        gix=grab(ref.gix), giy=grab(ref.giy),
+        gzx=grab(ref.gzx), gzy=grab(ref.gzy),
+    )
 
 
 def _psum(x, axis_name):
@@ -201,25 +270,44 @@ def linearize(ref: RefData, cur_slab, K, T, cfg: TrackerConfig,
         assert cur_cmajor is not None, "pallas backend needs cur_cmajor"
         prec = (jax.lax.Precision.HIGHEST if cfg.pallas_precision == "highest"
                 else jax.lax.Precision.DEFAULT)
-        # Tile geometry: rows_per_tile must divide the REFERENCE rows
-        # behind the points (H unless the reference grid is row-sharded,
-        # parallel/sharded.py); cols_per_tile bounds each tile's warped
-        # column span so the kernel's one-hot stays a narrow window
-        # (select_tiling falls back to full-width bands / whole-shard
-        # tiles where the constraints don't hold — coarse levels).
-        Hr = ref.px.shape[0] // W
-        rpt, cpt = pallas_sampler.select_tiling(
-            Hr, W, cfg.pallas_rows_per_tile, cfg.pallas_cols_per_tile,
-            cfg.pallas_margin,
-        )
-        smp_cm, inb, win_miss = pallas_sampler.sample_slab(
-            cur_cmajor, u, v, height=H, width=W, channels=n_smp,
-            rows_per_tile=rpt,
-            cols_per_tile=cpt,
-            margin=cfg.pallas_margin,
-            precision=prec,
-            interpret=(jax.devices()[0].platform != "tpu"),
-        )
+        if cfg.point_budget_fraction > 0.0:
+            # Compacted points (prepare_reference): flat tiles of
+            # consecutive points; the assumed per-tile row span follows
+            # from the budget density (stable compaction keeps row-major
+            # order, so ~tile/(density*W) reference rows back one tile).
+            span = cfg.pallas_compact_window_rows or int(
+                np.ceil(_COMPACT_TILE_PALLAS
+                        / max(cfg.point_budget_fraction * W, 1.0))
+            )
+            smp_cm, inb, win_miss = pallas_sampler.sample_slab(
+                cur_cmajor, u, v, height=H, width=W, channels=n_smp,
+                flat_points_per_tile=_COMPACT_TILE_PALLAS,
+                window_rows=span,
+                margin=cfg.pallas_margin,
+                precision=prec,
+                interpret=(jax.devices()[0].platform != "tpu"),
+            )
+        else:
+            # Tile geometry: rows_per_tile must divide the REFERENCE rows
+            # behind the points (H unless the reference grid is
+            # row-sharded, parallel/sharded.py); cols_per_tile bounds each
+            # tile's warped column span so the kernel's one-hot stays a
+            # narrow window (select_tiling falls back to full-width bands
+            # / whole-shard tiles where the constraints don't hold —
+            # coarse levels).
+            Hr = ref.px.shape[0] // W
+            rpt, cpt = pallas_sampler.select_tiling(
+                Hr, W, cfg.pallas_rows_per_tile, cfg.pallas_cols_per_tile,
+                cfg.pallas_margin,
+            )
+            smp_cm, inb, win_miss = pallas_sampler.sample_slab(
+                cur_cmajor, u, v, height=H, width=W, channels=n_smp,
+                rows_per_tile=rpt,
+                cols_per_tile=cpt,
+                margin=cfg.pallas_margin,
+                precision=prec,
+                interpret=(jax.devices()[0].platform != "tpu"),
+            )
         chans = tuple(smp_cm[c] for c in range(n_smp))
     else:
         chans, inb = _sample_gather(cur_slab[:n_smp], u, v)

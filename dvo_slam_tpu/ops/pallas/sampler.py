@@ -220,11 +220,13 @@ def _sample_kernel(oy_ref, ox_ref, x0_ref, fx_ref, y0_ref, fy_ref, slab_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "channels", "rows_per_tile", "margin",
-                     "precision", "interpret", "width", "cols_per_tile"),
+                     "precision", "interpret", "width", "cols_per_tile",
+                     "flat_points_per_tile", "window_rows"),
 )
 def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
                 margin=16, precision=jax.lax.Precision.DEFAULT,
-                interpret=False, width=None, cols_per_tile=0):
+                interpret=False, width=None, cols_per_tile=0,
+                flat_points_per_tile=0, window_rows=0):
     """Bilinearly sample all C channels at warped coords.
 
     Args:
@@ -254,6 +256,21 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
         bf16 pass (~2^-9 relative sampling quantization — at the scale of
         Kinect depth noise, absorbed by the robust Sigma estimate);
         HIGHEST is exact to f32 at ~3x the sampling cost.
+      flat_points_per_tile: > 0 switches to FLAT tiling for COMPACTED
+        point lists (ops/linearize.compact_reference): the points carry
+        no (Hr, W) grid structure, so each tile is simply the next
+        `flat_points_per_tile` consecutive points (must divide N; a
+        multiple of 128). Requires `width` and `window_rows`;
+        rows_per_tile / cols_per_tile are ignored. Correctness never
+        depended on grid order — the per-tile window origin comes from
+        the MEAN warped coordinate either way — only the window SIZE
+        did, which window_rows replaces.
+      window_rows: flat mode only — the assumed warped-row span of one
+        tile's points (stable compaction keeps row-major order, so ~
+        points_per_tile / (selection_density * W) plus inter-frame
+        motion). The window is round_up(window_rows + 2*margin + 2, 8)
+        + 8 rows, clamped to the image; points outside are reported in
+        window_miss exactly as in grid mode.
 
     Returns:
       samples: (C, N) sampled channels (garbage where invalid).
@@ -271,17 +288,29 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
     Hpad = CHpad // C
     N = u.shape[0]
     H = height
-    W = width if width is not None else N // H
-    Hr = N // W  # reference rows behind the points (== H unless sharded)
-    rpt = rows_per_tile
-    wt = cols_per_tile if cols_per_tile else W
-    col_window = bool(cols_per_tile) and wt < W
-    NTy = Hr // rpt
-    NTx = W // wt
-    P = rpt * wt
-    NT = NTy * NTx
-    assert NT * P == N, (H, W, Hr, N, rpt, wt)
-    Hw = min(Hpad, _round_up(rpt + 2 * margin + 2, 8) + 8)
+    flat = flat_points_per_tile > 0
+    if flat:
+        assert width is not None, "flat tiling requires explicit width"
+        assert window_rows > 0, "flat tiling requires window_rows"
+        W = width
+        P = flat_points_per_tile
+        NT = N // P
+        NTx = 1
+        col_window = False
+        assert NT * P == N and P % 128 == 0, (N, P)
+        Hw = min(Hpad, _round_up(window_rows + 2 * margin + 2, 8) + 8)
+    else:
+        W = width if width is not None else N // H
+        Hr = N // W  # reference rows behind the points (== H unless sharded)
+        rpt = rows_per_tile
+        wt = cols_per_tile if cols_per_tile else W
+        col_window = bool(cols_per_tile) and wt < W
+        NTy = Hr // rpt
+        NTx = W // wt
+        P = rpt * wt
+        NT = NTy * NTx
+        assert NT * P == N, (H, W, Hr, N, rpt, wt)
+        Hw = min(Hpad, _round_up(rpt + 2 * margin + 2, 8) + 8)
     # Slabs that fit comfortably in VMEM stay RESIDENT across the whole
     # grid (loaded once per call): the v3 kernel's per-band window DMAs
     # re-fetched ~12 MB of slab per IRLS iteration at level 1 and were the
@@ -317,6 +346,8 @@ def sample_slab(slab_cmajor, u, v, height, channels=6, rows_per_tile=8,
 
     def tile_mean(a):
         """(N,) row-major -> (NT,) per-tile mean."""
+        if flat:
+            return a.reshape(NT, P).mean(axis=1)
         return a.reshape(NTy, rpt, NTx, wt).mean(axis=(1, 3)).reshape(NT)
 
     # Per-tile window origins from the mean clipped warped coordinate.
