@@ -36,7 +36,9 @@ from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models import dense_tracker
 from dvo_slam_tpu.ops import camera, pyramid, se3
 
-_ENTROPY_FLOOR = 1.0  # matches dense_tracker._ENTROPY_DENOM_FLOOR
+# ONE constant for both engines: a drift here would silently desynchronize
+# the per-frame and scan engines' keyframe cadence.
+_ENTROPY_FLOOR = dense_tracker._ENTROPY_DENOM_FLOOR
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,6 +12,8 @@ from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
 from dvo_slam_tpu.utils import checkpoint, evaluate, synthetic
 
+from cross_run import assert_cross_run_close
+
 W, H = 64, 48
 K_TUPLE = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
 TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0, max_iterations=30)
@@ -54,7 +56,7 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert len(traj_a) == len(traj_c)
     for (ta, Ta), (tc, Tc) in zip(traj_a, traj_c):
         assert ta == tc
-        np.testing.assert_allclose(Ta, Tc, atol=1e-5)
+        assert_cross_run_close(Ta, Tc)
 
 
 def test_checkpoint_preserves_reset_anchor(tmp_path):
@@ -446,4 +448,4 @@ def test_checkpoint_exact_path_any_extension(tmp_path):
     assert len(ta) == len(tb) and len(ta) == 3
     for (sa, Ta), (sb, Tb) in zip(ta, tb):
         assert sa == sb
-        np.testing.assert_allclose(Ta, Tb, atol=1e-7)
+        assert_cross_run_close(Ta, Tb)

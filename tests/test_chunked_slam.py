@@ -7,6 +7,8 @@ from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models.chunked_slam import ChunkedKeyframeSlam
 from dvo_slam_tpu.utils import evaluate, synthetic
 
+from cross_run import assert_cross_run_close
+
 W, H = 64, 48
 K = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
 TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0,
@@ -61,8 +63,8 @@ def test_chunk_boundaries_do_not_change_results():
     kfs = lambda s: [k.idx for k in s.keyframes]
     assert kfs(slam_a) == kfs(slam_b) == kfs(slam_c)
     for Ta, Tb, Tc in zip(poses_a, poses_b, poses_c):
-        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
-        np.testing.assert_allclose(Ta, Tc, atol=1e-9)
+        assert_cross_run_close(Ta, Tb)
+        assert_cross_run_close(Ta, Tc)
 
 
 def test_chunked_slam_tracks_groundtruth():
@@ -109,7 +111,7 @@ def test_chunked_checkpoint_resume_equivalence(tmp_path):
     assert len(traj_full) == len(traj_res) == len(ts)
     for (ta, Ta), (tb, Tb) in zip(traj_full, traj_res):
         assert ta == tb
-        np.testing.assert_allclose(Ta, Tb, atol=1e-7)
+        assert_cross_run_close(Ta, Tb)
 
     # A per-frame-engine checkpoint must refuse to load as chunked.
     from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
@@ -200,11 +202,11 @@ def test_chunked_local_map_matches_per_frame_engine():
     # The windowed solve refined intermediate records in both engines.
     for fc, fp in zip(chunked.frames, per_frame.frames):
         assert fc.keyframe_idx == fp.keyframe_idx
-        np.testing.assert_allclose(fc.T_kf_frame, fp.T_kf_frame, atol=5e-5)
+        assert_cross_run_close(fc.T_kf_frame, fp.T_kf_frame)
     tc = [T for _, T in chunked.finish()]
     tp = [T for _, T in per_frame.finish()]
     for Tc, Tp in zip(tc, tp):
-        np.testing.assert_allclose(Tc, Tp, atol=5e-5)
+        assert_cross_run_close(Tc, Tp)
     assert evaluate.ate_rmse(tc, gt) < 0.005
 
 
@@ -229,7 +231,7 @@ def test_chunk_boundaries_invariant_with_local_map():
     slam_b, poses_b = run([3, 1, 6, 2])
     assert [k.idx for k in slam_a.keyframes] == [k.idx for k in slam_b.keyframes]
     for Ta, Tb in zip(poses_a, poses_b):
-        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+        assert_cross_run_close(Ta, Tb)
 
 
 def test_chunked_checkpoint_resume_with_local_map(tmp_path):
@@ -257,7 +259,7 @@ def test_chunked_checkpoint_resume_with_local_map(tmp_path):
     assert len(traj_full) == len(traj_res) == len(ts)
     for (ta, Ta), (tb, Tb) in zip(traj_full, traj_res):
         assert ta == tb
-        np.testing.assert_allclose(Ta, Tb, atol=1e-7)
+        assert_cross_run_close(Ta, Tb)
 
 
 def test_chunked_reset_clears_local_map_window():
@@ -391,11 +393,11 @@ def test_pipelined_submit_collect_matches_sequential():
 
     assert len(seq_poses) == len(pipe_poses) == len(ts)
     for Ta, Tb in zip(seq_poses, pipe_poses):
-        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+        assert_cross_run_close(Ta, Tb)
     assert len(seq_traj) == len(pipe_traj)
     for (ta, Ta), (tb, Tb) in zip(seq_traj, pipe_traj):
         assert ta == tb
-        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+        assert_cross_run_close(Ta, Tb)
     assert len(seq_slam.keyframes) == len(pipe.keyframes)
 
 
@@ -431,7 +433,7 @@ def test_update_chunk_drains_outstanding_submissions():
     ref = ChunkedKeyframeSlam(K, TRACKER, SLAM)
     ref.init()
     ref_poses = ref.update_chunk(seq_i[:9], seq_z[:9], ts[:9])
-    np.testing.assert_allclose(poses[-1], ref_poses[-1], atol=1e-9)
+    assert_cross_run_close(poses[-1], ref_poses[-1])
 
 
 def test_collect_without_submit_raises_clear_error():

@@ -85,3 +85,24 @@ def test_scan_entropy_switches_and_accuracy():
     ate = evaluate.ate_rmse(traj, poses)
     assert ate < 0.01, f"scan keyframe odometry ATE {ate*1000:.2f} mm"
     assert len(kf_indices) >= 2
+
+
+def test_entropy_floor_shared_and_engines_agree_at_boundary():
+    """The entropy-denominator floor is ONE constant imported by both
+    engines (a drift would silently desynchronize their keyframe cadence),
+    and the host and traced entropy-ratio forms agree exactly in the
+    floor-active regime (|h_ref| < floor, where the denominator clamps)."""
+    from dvo_slam_tpu.models import dense_tracker
+
+    assert keyframe_scan._ENTROPY_FLOOR is dense_tracker._ENTROPY_DENOM_FLOOR
+
+    floor = dense_tracker._ENTROPY_DENOM_FLOOR
+    # Boundary cases: reference entropy below/at/above the floor, either
+    # sign, degradation and improvement.
+    for h_ref in (-0.5 * floor, 0.25 * floor, floor, -3.0 * floor, 2.7):
+        for h_cur in (h_ref - 1.3, h_ref, h_ref + 0.8, -4.1):
+            host = dense_tracker.entropy_ratio(h_cur, h_ref)
+            traced = float(keyframe_scan._entropy_ratio_jnp(
+                jnp.float32(h_cur), jnp.float32(h_ref), jnp.bool_(True)
+            ))
+            np.testing.assert_allclose(traced, host, rtol=1e-6, atol=1e-6)

@@ -9,6 +9,8 @@ from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam, fuse_relative_pos
 from dvo_slam_tpu.models.local_map import LocalMap
 from dvo_slam_tpu.utils import evaluate, se3_np, synthetic
 
+from cross_run import assert_cross_run_close
+
 W, H = 64, 48
 K_TUPLE = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
 TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0, max_iterations=30)
@@ -171,7 +173,7 @@ def test_deferred_window_refinement_lands_everywhere():
     t_eager = drive(True)
     t_lazy = drive(False)
     for Ta, Tb in zip(t_eager, t_lazy):
-        np.testing.assert_allclose(Ta, Tb, atol=1e-9)
+        assert_cross_run_close(Ta, Tb)
 
     # ... and the refinement genuinely landed: window frame records moved
     # away from their closed-form fused estimates.

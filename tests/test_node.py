@@ -9,6 +9,8 @@ from dvo_slam_tpu import node
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.utils import evaluate, synthetic
 
+from cross_run import assert_cross_run_close
+
 W, H = 64, 48
 K = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
 TRACKER = TrackerConfig(num_levels=2, first_level=1, last_level=0,
@@ -425,7 +427,7 @@ def test_live_chunked_matches_per_frame(tmp_path):
                for e in final_ck["trajectory"]]
     assert len(traj_ck) == len(traj_pf) == len(frames)
     for Ta, Tb in zip(traj_ck, traj_pf):
-        np.testing.assert_allclose(Ta, Tb, atol=5e-5)
+        assert_cross_run_close(Ta, Tb)
     assert evaluate.ate_rmse(traj_ck, poses) < 0.005
 
 

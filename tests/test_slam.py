@@ -14,6 +14,8 @@ from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models.keyframe_tracker import KeyframeSlam
 from dvo_slam_tpu.utils import evaluate, synthetic
 
+from cross_run import assert_cross_run_close
+
 W, H = 64, 48
 K_TUPLE = (32.0, 32.0, (W - 1) / 2.0, (H - 1) / 2.0)
 
@@ -527,4 +529,6 @@ def test_validation_cache_equivalence_and_bound():
     assert len(slam_0._validation_cache) == 0
     assert edges_c == edges_0
     for Tc, T0 in zip(traj_c, traj_0):
-        np.testing.assert_allclose(Tc, T0, atol=1e-9)
+        # Cross-run comparison: bit-identical on TPU; tolerance covers the
+        # threaded CPU backend's run-to-run nondeterminism (see cross_run.py).
+        assert_cross_run_close(Tc, T0)
