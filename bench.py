@@ -222,6 +222,11 @@ def _bench_tracking(args, cfg, Ks, ring, jax, jnp, dense_tracker, pyramid):
     note = (f"elapsed={elapsed:.3f}s warm_start={warm_start} "
             f"mean_iters_per_level={np.round(mean_iters, 2).tolist()} "
             f"ms_per_frame={1000 * elapsed / args.frames:.2f}")
+    if cfg.point_budget_fraction > 0.0:
+        # Budgeted runs must show the flat-tile window held: points lost
+        # to window misses would make the fps number hollow.
+        note += (f" valid_px={float(res.valid_pixels):.0f}"
+                 f" window_miss_frac={float(res.window_miss_frac):.4f}")
     return args.frames / elapsed, note
 
 

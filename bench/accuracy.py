@@ -65,6 +65,12 @@ def main():
                          "'reference' is the 2.3x-fewer-sampled-channels "
                          "fast mode — run this harness with it to verify "
                          "accuracy parity at full scale")
+    ap.add_argument("--point-budget", type=float, default=None,
+                    help="also run the slam engine with point-budget "
+                         "compaction ON at this fraction (its own gate: "
+                         "same ATE bound + loop-closure value as the "
+                         "full-grid engine — protects the compacted hot "
+                         "path from silent accuracy rot)")
     ap.add_argument("--trajectory", default="orbit",
                     choices=["orbit", "figure8"],
                     help="camera path: 'orbit' (same-heading revisits) or "
@@ -153,15 +159,19 @@ def main():
     # The two engines are separate gates: the per-frame orchestrator is
     # the reference-parity path, the chunked device-resident front-end is
     # the fast path — a silent accuracy regression in either must fail.
-    runs = [("slam", args.chunk_size), ("keyframe", args.chunk_size)]
+    runs = [("slam", args.chunk_size, tracker_cfg),
+            ("keyframe", args.chunk_size, tracker_cfg)]
     if args.chunk_size is None and args.chunked_gate_size:
-        runs.append(("slam-chunked", args.chunked_gate_size))
+        runs.append(("slam-chunked", args.chunked_gate_size, tracker_cfg))
+    if args.point_budget is not None:
+        runs.append(("slam-budget", args.chunk_size, dataclasses.replace(
+            tracker_cfg, point_budget_fraction=args.point_budget)))
     results = {}
-    for name, chunk in runs:
-        mode = "slam" if name == "slam-chunked" else name
+    for name, chunk, cfg_run in runs:
+        mode = "slam" if name in ("slam-chunked", "slam-budget") else name
         t0 = time.perf_counter()
         res = benchmark.run_tum_dataset(
-            out_dir, tracker_cfg, slam_cfg, mode=mode, intrinsics=K_track,
+            out_dir, cfg_run, slam_cfg, mode=mode, intrinsics=K_track,
             chunk_size=chunk,
         )
         wall = time.perf_counter() - t0
@@ -200,11 +210,26 @@ def main():
             and chunked.num_loop_edges >= 1
             and chunked.ate_rmse_m <= 0.7 * ate_odo
         )
+    if "slam-budget" in results:
+        budget = results["slam-budget"]
+        verdict["point_budget"] = args.point_budget
+        verdict["ate_slam_budget_m"] = round(budget.ate_rmse_m, 6)
+        verdict["budget_loop_edges"] = budget.num_loop_edges
+        verdict["budget_fps"] = round(budget.fps, 2)
+        # Compaction sees a spatial subsample of the full-grid points; it
+        # must still hold the absolute bound and keep loop closure
+        # delivering its drift cut.
+        verdict["gate_budget"] = bool(
+            budget.ate_rmse_m < args.ate_bound_m
+            and budget.num_loop_edges >= 1
+            and budget.ate_rmse_m <= 0.7 * ate_odo
+        )
     print(json.dumps(verdict))
     if not args.keep and args.dir is None:
         shutil.rmtree(out_dir, ignore_errors=True)
     ok = verdict["gate_absolute"] and verdict["gate_loop_beats_odometry"]
-    return 0 if ok and verdict.get("gate_chunked", True) else 1
+    return 0 if (ok and verdict.get("gate_chunked", True)
+                 and verdict.get("gate_budget", True)) else 1
 
 
 if __name__ == "__main__":
