@@ -163,11 +163,15 @@ def main():
         if submitted > 1:
             slam.collect_chunk()
         engine_s += time.perf_counter() - t0
+        vstats = slam.validation_cache_stats
         chunk_records.append({
             "frame": c0, "engine_s": engine_s,
             "keyframes": len(slam.keyframes),
             "loop_edges": slam.num_loop_edges,
             "rss_mb": round(_rss_mb(), 1),
+            "cache_hits": vstats["hits"],
+            "cache_misses": vstats["misses"],
+            "reupload_mb": round(vstats["uploaded_bytes"] / 2**20, 1),
         })
     t0 = time.perf_counter()
     slam.collect_chunk()
@@ -216,6 +220,15 @@ def main():
         "evicted": evicted,
         "backoff": slam_cfg.optimization_backoff_vertices,
         "resident_budget": slam_cfg.resident_keyframes,
+        # Re-upload observability (the round-4 finding was "switches are
+        # re-upload-bound"; these verify the level-trim + LRU fixes fire
+        # at soak scale): hit_rate over host-resident candidates, and the
+        # actual MB shipped to the device for validation.
+        "cache_hit_rate": round(slam.validation_cache_stats["hit_rate"], 3),
+        "cache_hits": slam.validation_cache_stats["hits"],
+        "cache_misses": slam.validation_cache_stats["misses"],
+        "reupload_mb": round(
+            slam.validation_cache_stats["uploaded_bytes"] / 2**20, 1),
         "peak_rss_mb": round(peak_rss, 1),
         "gates": gates,
         "ok": all(gates.values()),

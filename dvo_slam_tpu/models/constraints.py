@@ -17,6 +17,7 @@ forward and backward problems are just rows of the batch.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import List, Optional
@@ -28,6 +29,37 @@ import numpy as np
 from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 from dvo_slam_tpu.models import dense_tracker
 from dvo_slam_tpu.utils import se3_np
+
+
+class ValidationCache(collections.OrderedDict):
+    """LRU device cache of re-uploaded EVICTED candidate pyramids, with
+    observability counters (the round-4 soak found switches re-upload-bound
+    past the residency budget; the counters make the fix verifiable at soak
+    scale instead of trusted).
+
+    hits / misses count HOST-RESIDENT candidates per dispatch (resident
+    device pyramids never touch the cache); uploaded_bytes counts actual
+    host->device bytes shipped for candidates — cache fills when caching is
+    on, every host candidate when slots == 0; lru_evictions counts entries
+    dropped at capacity."""
+
+    def __init__(self):
+        super().__init__()
+        self.hits = 0
+        self.misses = 0
+        self.uploaded_bytes = 0
+        self.lru_evictions = 0
+
+    def stats(self) -> dict:
+        total = self.hits + self.misses
+        return {
+            "hits": self.hits,
+            "misses": self.misses,
+            "hit_rate": self.hits / total if total else 0.0,
+            "uploaded_bytes": self.uploaded_bytes,
+            "lru_evictions": self.lru_evictions,
+            "entries": len(self),
+        }
 
 
 @dataclasses.dataclass
@@ -229,19 +261,31 @@ def dispatch_validation(
     # spilled pyramids. Cache entries are the TRIMMED level tuples (the
     # upload the dispatch would otherwise do itself).
     slots = slam_cfg.validation_cache_slots
-    if device_cache is not None and pyramid_keys is not None and slots > 0:
+    if device_cache is not None and pyramid_keys is not None:
+        stats = device_cache if isinstance(device_cache, ValidationCache) \
+            else None
         keyframe_pyramids = list(keyframe_pyramids)
         for k in {c.keyframe_idx for c in candidates}:
             pyr = keyframe_pyramids[k]
             if pyr is None or not isinstance(pyr[0], np.ndarray):
                 continue  # resident (device) — no upload to cache
             key = (pyramid_keys[k], lvl0)
-            if key in device_cache:
+            if slots > 0 and key in device_cache:
                 device_cache.move_to_end(key)
+                if stats is not None:
+                    stats.hits += 1
             else:
+                if stats is not None:
+                    stats.misses += 1
+                    stats.uploaded_bytes += sum(
+                        np.asarray(a).nbytes for a in pyr)
+                if slots <= 0:
+                    continue  # uncached: the upload happens in the dispatch
                 device_cache[key] = jax.device_put(tuple(pyr))
                 while len(device_cache) > slots:
                     device_cache.popitem(last=False)
+                    if stats is not None:
+                        stats.lru_evictions += 1
             keyframe_pyramids[k] = device_cache[key]
 
     # Power-of-two bucketed batch: one dispatch for up to

@@ -225,10 +225,9 @@ class KeyframeSlam:
         # LRU device cache of re-uploaded EVICTED validation candidates
         # (level-trimmed; see constraints.dispatch_validation). Keyed by
         # (idx, timestamp) — stable across reset()'s index reuse; pyramid
-        # contents are immutable so entries never go stale.
-        import collections
-
-        self._validation_cache = collections.OrderedDict()
+        # contents are immutable so entries never go stale. Carries
+        # hit/miss/byte counters (validation_cache_stats below).
+        self._validation_cache = constraints.ValidationCache()
 
         # Windowed local map for the active keyframe (reference LocalMap).
         self._local_map = local_map.LocalMap(slam_cfg.local_map_capacity)
@@ -244,6 +243,14 @@ class KeyframeSlam:
     def force_keyframe(self):
         """Promote the next frame to a keyframe (reference forceKeyframe)."""
         self._force_next = True
+
+    @property
+    def validation_cache_stats(self) -> dict:
+        """Loop-closure re-upload observability: hit/miss/byte counters of
+        the evicted-candidate device cache (bench/soak.py publishes these;
+        the round-4 soak finding — re-upload-bound switches — is otherwise
+        unverifiable at scale)."""
+        return self._validation_cache.stats()
 
     def reset(self, T0: Optional[np.ndarray] = None):
         """Restart tracking at a given world pose, keeping the map so far.

@@ -524,9 +524,19 @@ def test_validation_cache_equivalence_and_bound():
     assert 0 < len(slam_c._validation_cache) <= 48
     # Evicted candidates were served from cache (keys are evicted kfs).
     assert all(isinstance(k[0], tuple) for k in slam_c._validation_cache)
+    # Observability counters: revisits hit; every miss shipped real bytes.
+    stats_c = slam_c.validation_cache_stats
+    assert stats_c["hits"] > 0 and stats_c["misses"] > 0
+    assert stats_c["misses"] >= len(slam_c._validation_cache)
+    assert stats_c["uploaded_bytes"] > 0
 
     slam_0, edges_0, traj_0 = run(0)
     assert len(slam_0._validation_cache) == 0
+    # Uncached runs count every host-resident candidate as a miss and its
+    # bytes as re-upload traffic — at least everything the cached run shipped.
+    stats_0 = slam_0.validation_cache_stats
+    assert stats_0["hits"] == 0
+    assert stats_0["uploaded_bytes"] >= stats_c["uploaded_bytes"]
     assert edges_c == edges_0
     for Tc, T0 in zip(traj_c, traj_0):
         # Cross-run comparison: bit-identical on TPU; tolerance covers the
