@@ -120,11 +120,11 @@ def test_compact_decimation_uniform_monotone():
     assert count > budget
 
     assert bool(np.asarray(comp.selected).all())  # every slot holds a point
-    # Recover each slot's source index via the unique pz/py pair: compare
-    # against the expected floor(j*count/budget)-th selected point.
+    # Slot j holds the FIRST selected point whose uniform slot map
+    # floor(rank*budget/count) lands on j, i.e. rank ceil(j*count/budget).
     sel_idx = np.flatnonzero(np.asarray(full.selected))
     j = np.arange(budget)
-    expect = sel_idx[(j * count) // budget]
+    expect = sel_idx[-(-j * count // budget)]
     np.testing.assert_array_equal(np.asarray(comp.i1),
                                   np.asarray(full.i1)[expect])
     np.testing.assert_array_equal(np.asarray(comp.px),
