@@ -89,6 +89,12 @@ def main():
                     choices=["f32", "raw", "raw12"],
                     help="live modes: wire/upload encoding (f32 8 B/px, "
                     "raw u8+u16 3 B/px, raw12 2.5 B/px)")
+    ap.add_argument("--rate", type=float, default=0.0,
+                    help="live modes: pace frame sends at this Hz (0 = "
+                    "unpaced firehose). Paced runs make the reported pose "
+                    "latency meaningful (sensor-rate deployment); unpaced "
+                    "runs measure throughput and their latency is "
+                    "queueing-dominated")
     ap.add_argument("--gradient-source", default=None,
                     choices=["current", "reference"],
                     help="Jacobian gradient source (reference-frame "
@@ -375,7 +381,15 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
     messages back, finish() trajectory. Timed from first frame sent to
     trajectory received; includes socket transport, host buffering, and
     every device transfer. This is VERDICT r3 #2's row: the node is no
-    longer limited to the 9.9 fps per-frame path over the tunnel."""
+    longer limited to the 9.9 fps per-frame path over the tunnel.
+
+    Pose LATENCY (the chunk knob's other axis) is measured per frame: a
+    reader thread timestamps every pose message as it leaves the socket,
+    and latency = arrival - send of the frame with the same timestamp.
+    With --rate R sends are paced (deployment-shaped: latency is
+    buffering + engine lag); unpaced sends measure throughput, so their
+    latency is queueing against the engine — reported, but not a
+    deployment number."""
     import socket
     import tempfile
     import threading
@@ -411,17 +425,53 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
             except (FileNotFoundError, ConnectionRefusedError):
                 time.sleep(0.05)
         assert client is not None, "node did not come up"
+
+        # All socket reads happen in ONE thread (timestamping pose
+        # arrivals); the finish command is sent raw so the main thread
+        # never touches the read file.
+        recv: list = []  # (arrival perf_counter, msg)
+        import json as _json
+
+        def reader():
+            while True:
+                line = client._rfile.readline()
+                if not line:
+                    return
+                msg = _json.loads(line)
+                recv.append((time.perf_counter(), msg))
+                if "trajectory" in msg:
+                    return
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+
+        send_t = {}
+        period = 1.0 / args.rate if args.rate > 0 else 0.0
         t0 = time.perf_counter()
         for i in range(args.frames):
+            if period:
+                # Sensor pacing against the SCHEDULE, not the previous
+                # send (a real camera does not slow down when we lag).
+                due = t0 + i * period
+                now = time.perf_counter()
+                if due > now:
+                    time.sleep(due - now)
             ii, zz = send_frames[i % n_ring]
-            client.send_frame_nowait(100.0 + i / 30.0, ii, zz,
-                                     enc=args.enc)
-        final = client.finish()  # flushes; poses land in pose_backlog
-        elapsed = time.perf_counter() - t0
-        n_msgs = len(client.pose_backlog)
-        n_traj = len(final.get("trajectory", []))
+            ts = 100.0 + i / 30.0
+            send_t[ts] = time.perf_counter()
+            client.send_frame_nowait(ts, ii, zz, enc=args.enc)
+        client.sock.sendall(b'{"cmd": "finish"}\n')
+        th.join(timeout=300)
+        assert recv and "trajectory" in recv[-1][1], "no trajectory reply"
+        elapsed = recv[-1][0] - t0
+        poses = [(at, m) for at, m in recv if "pose" in m]
+        lat = sorted(at - send_t[m["t"]] for at, m in poses
+                     if m["t"] in send_t)
+        n_traj = len(recv[-1][1].get("trajectory", []))
         client.close()
-        return elapsed, n_msgs, n_traj
+        lat_stats = ((lat[len(lat) // 2], lat[int(len(lat) * 0.95)],
+                      lat[-1]) if lat else (0.0, 0.0, 0.0))
+        return elapsed, len(poses), n_traj, lat_stats
 
     results = {}
     for tag in ("warm", "timed"):
@@ -438,11 +488,14 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
         results[tag] = run_session(sock_path)
         server.join(timeout=60)
 
-    elapsed, n_msgs, n_traj = results["timed"]
+    elapsed, n_msgs, n_traj, (lat_p50, lat_p95, lat_max) = results["timed"]
     assert n_msgs == args.frames, (n_msgs, args.frames)
     assert n_traj == args.frames, n_traj
     note = (f"elapsed={elapsed:.3f}s chunk={chunk} socket-session "
             f"pose_msgs={n_msgs} enc={args.enc} "
+            f"rate={args.rate or 'unpaced'} "
+            f"latency_ms p50={1000 * lat_p50:.0f} p95={1000 * lat_p95:.0f} "
+            f"max={1000 * lat_max:.0f} "
             f"ms_per_frame={1000 * elapsed / args.frames:.2f} "
             "(full live node: socket + chunked engine"
             + (", loop closure ON)" if lc else ")"))
