@@ -135,6 +135,23 @@ _COMPACT_TILE_PALLAS = 2048
 _COMPACT_TILE_GATHER = 128
 
 
+def _muldiv_floor(r, b: int, c):
+    """floor(r * b / c) for int32 r without 64-bit intermediates.
+
+    Split arithmetic (r = rh*2^10 + rl): exact while r, c < 2^19 and
+    b <= c + one tile (the compact_reference operating range; asserted
+    by the caller). Negative r clamps to 0 — the only negative inputs
+    are rank-1 sentinels whose results are masked out by the caller.
+    """
+    r = jnp.maximum(r, 0)
+    rh = r >> 10
+    rl = r & 1023
+    a = rh * b  # < 2^9 * 2^19.1
+    q1 = a // c
+    num = ((a % c) << 10) + rl * b  # < 2^29 + 2^29
+    return (q1 << 10) + num // c
+
+
 def compact_budget(n_points: int, frac: float, tile: int) -> int:
     """Static slot count for compact_reference: round_up(frac * n) to a
     tile multiple, at least one tile, never more than a tile-rounded n."""
@@ -156,12 +173,23 @@ def compact_reference(ref: RefData, budget: int) -> RefData:
     sampler needs.
 
     Formulation (round 5, measured on v5e): fields pack into ONE (N, F)
-    table and scatter DIRECTLY to their slot with sorted+unique index
-    hints — in-tracker context this is ~6x cheaper (0.25 ms vs 1.65 ms
-    at 320x240) than the gather formulation (rank scatter into an order
-    array + per-field gathers): XLA fuses the field producers into each
-    gather and re-evaluates them per fetched element, while the single
-    scatter consumes the already-fused table once.
+    table and scatter DIRECTLY to their slot — in-tracker context this
+    is several times cheaper than the gather formulation (rank scatter
+    into an order array + per-field gathers): XLA fuses the field
+    producers into each gather and re-evaluates them per fetched
+    element, while the single scatter consumes the already-fused table
+    once. Two correctness rules learned the hard way (round 5, both
+    measured as multi-thousand zero-point slots on v5e at 640x480):
+      * NO index hints: non-writers carry the out-of-bounds slot
+        `budget` interspersed between the monotone writer slots, so
+        `indices_are_sorted`/`unique_indices` would be lies — XLA TPU
+        lowers hinted scatters to code that silently drops writes when
+        the hints are false (CPU ignores them, which is why small CPU
+        tests never caught it).
+      * The decimation map rank*budget//count MUST NOT overflow int32:
+        at 320x240 with budget 0.5 the product reaches 2.5e9 > 2^31.
+        _muldiv_floor computes it exactly in split int32 arithmetic
+        (valid for N < 2^19 points per level — asserted).
 
     Semantics vs the full grid (deviation ledger, fr1_desk_protocol.md):
       * selected count <= budget: identical point set, reductions merely
@@ -176,16 +204,22 @@ def compact_reference(ref: RefData, budget: int) -> RefData:
     them toward an arbitrary fill value.
     """
     sel = ref.selected
+    n = sel.shape[0]
+    # _muldiv_floor's split arithmetic is exact for n < 2^19 (covers
+    # 640x480 level 0); widen the split before lifting this.
+    assert n < (1 << 19), f"compact_reference: {n} points overflow int32 map"
     ranks = jnp.cumsum(sel.astype(jnp.int32))
     count = ranks[-1]
     rank = ranks - 1
     over = count > budget
     cnt = jnp.maximum(count, 1)
-    slot = jnp.where(over, rank * budget // cnt, rank)
+    slot = jnp.where(over, _muldiv_floor(rank, budget, cnt), rank)
     # Scatter semantics for duplicate indices are unspecified; keep the
     # writes unique by letting only the FIRST point mapping to a slot
     # write it (elementwise computable from the rank alone).
-    first = jnp.where(over, slot != (rank - 1) * budget // cnt, True)
+    first = jnp.where(
+        over, slot != _muldiv_floor(rank - 1, budget, cnt), True
+    )
     write = sel & ((rank == 0) | first)
     slot = jnp.where(write, slot, budget)  # non-writers drop out of bounds
 
@@ -194,7 +228,7 @@ def compact_reference(ref: RefData, budget: int) -> RefData:
     present = [k for k, f in enumerate(fields) if f is not None]
     table = jnp.stack([fields[k] for k in present], axis=1)  # (N, F)
     out = jnp.zeros((budget, len(present)), table.dtype).at[slot].set(
-        table, mode="drop", indices_are_sorted=True, unique_indices=True
+        table, mode="drop"
     )
     # Tail fill: replicate the last filled slot into the unused tail.
     nfill = jnp.minimum(count, budget)

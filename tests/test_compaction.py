@@ -134,6 +134,39 @@ def test_compact_decimation_uniform_monotone():
     assert sel_idx[-1] - expect[-1] <= count // budget + 1
 
 
+def test_compact_decimation_at_int32_overflow_scale():
+    """Regression (round 5): at 320x240 with budget 0.5 the decimation map
+    rank*budget reaches 2.5e9 > 2^31. The naive int32 product wrapped
+    negative, the scatter dropped those writes, and ~90% of slots kept the
+    zero fill — the tracker then ran on ~2k of 38k points (measured on
+    v5e as valid_pixels collapsing from 19470 to 1950). _muldiv_floor's
+    split arithmetic must reproduce the exact int64 oracle at this scale.
+    This reproduces on CPU: the overflow is in the int32 math, not the
+    TPU scatter lowering (whose false sorted/unique hints were the
+    second, TPU-only half of the round-5 bug — hints are gone)."""
+    n = 76800  # 320x240
+    rng = np.random.default_rng(3)
+    sel = rng.uniform(size=n) < 0.824  # thr-1.0 density measured on v5e
+    count = int(sel.sum())
+    budget = lin_ops.compact_budget(n, 0.5, lin_ops._COMPACT_TILE_PALLAS)
+    assert count > budget  # decimation branch
+    assert count * budget > 2**31  # the product that used to wrap
+
+    vals = np.arange(1, n + 1, dtype=np.float32)  # distinct, nonzero
+    ref = lin_ops.RefData(
+        px=jnp.asarray(vals), py=jnp.asarray(vals), pz=jnp.asarray(vals),
+        i1=jnp.asarray(vals), selected=jnp.asarray(sel),
+    )
+    comp = lin_ops.compact_reference(ref, budget)
+    assert bool(np.asarray(comp.selected).all())
+    got = np.asarray(comp.pz)
+    assert (got > 0).all()  # no slot kept the zero fill
+    sel_idx = np.flatnonzero(sel)
+    j = np.arange(budget, dtype=np.int64)
+    expect = vals[sel_idx[-(-j * count // budget)]]
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_compact_zero_selected_all_masked():
     z_nan = np.full((H, W), np.nan, np.float32)
     (i_r, _), _, _ = _render_pair(np.zeros(6))
