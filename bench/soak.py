@@ -26,8 +26,13 @@ degradation with scale; solver-bucket recompiles (O(log N) per run) stay
 inside the timed region — continuous operation includes them.
 
 Gates (printed as one JSON line):
-  fps_stable : median of the last 2 windows >= 0.6 x median of windows
-               2..3 (window 1 absorbs the scan + first-bucket compiles)
+  fps_stable : median of the last 2 windows >= 0.8 x median of windows
+               2..3 (window 1 absorbs the scan + first-bucket compiles).
+               Tightened from 0.6 in round 5: with the validation cache
+               + level-trimmed uploads the measured tail/mid ratio is
+               ~1.05 (windows [4.1, 5.5, 4.2, 6.0]); 0.8 leaves room
+               for tunnel variance while failing any real decline of
+               the pre-fix kind (pre-fix ratio was 0.85 and falling)
   ate        : final trajectory ATE RMSE below --ate-gate (loop closure
                must keep multi-cycle drift bounded)
   scale      : capacity re-padded AND evictions happened AND the active
@@ -201,7 +206,7 @@ def main():
 
     mid = window_fps[1:3] if len(window_fps) > 3 else window_fps[:1]
     tail = window_fps[-2:] if len(window_fps) >= 2 else window_fps
-    fps_stable = (np.median(tail) >= 0.6 * np.median(mid)) if window_fps else False
+    fps_stable = (np.median(tail) >= 0.8 * np.median(mid)) if window_fps else False
     gates = {
         "fps_stable": bool(fps_stable),
         "ate": bool(ate_mm < args.ate_gate),
