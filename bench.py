@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -64,6 +65,14 @@ def _render_ring(W, H, K_t, n=8, radius=0.06):
 
 
 def main():
+    # Debug aid for remoted-device hangs: DVO_HANG_DUMP=<seconds> dumps
+    # every thread's stack and exits if the run wedges (e.g. a tunnel
+    # transfer that never completes).
+    if os.environ.get("DVO_HANG_DUMP"):
+        import faulthandler
+
+        faulthandler.dump_traceback_later(
+            int(os.environ["DVO_HANG_DUMP"]), exit=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="odometry",
                     choices=["odometry", "cold", "dual", "slam", "chunked",

@@ -230,8 +230,9 @@ class SlamNode:
         self._viz_lock = visualizer_lock or threading.Lock()
         self._K = np.asarray(K, np.float64).reshape(-1)[:4]
         self.chunk = int(chunk) if mode != "odometry" else 0
-        self._buf: list = []  # buffered (t, intensity, depth)
-        self._inflight: list = []  # submitted chunks' (t, i, z) lists
+        self._buf: list = []  # buffered (t, dev_i, dev_z, host_or_None)
+        self._inflight: list = []  # submitted chunks' (t, host) lists
+        self._STAGE_WINDOW = 8  # max staged uploads in flight (see below)
         if mode == "odometry":
             from dvo_slam_tpu.models.odometry import OdometryTracker
 
@@ -305,7 +306,30 @@ class SlamNode:
         """Track one frame; returns the pose messages ready to send (one
         in per-frame mode; none or a full chunk's worth in chunked mode)."""
         if self.chunk:
-            self._buf.append((t, intensity, depth))
+            import jax
+
+            # Eager per-frame staging: issue the (async) host->device
+            # transfer the moment the frame arrives, instead of letting
+            # submit_chunk upload the whole stacked chunk in one burst.
+            # Over a remoted/tunneled chip the burst IS the bottleneck —
+            # each frame's transfer now rides under the sensor interval
+            # (paced sessions) or the previous chunk's compute. Host
+            # copies are kept only when a viz/cloud consumer needs them.
+            keep = (self.visualizer is not None or self.publish_clouds)
+            dev_i, dev_z = jax.device_put((intensity, depth))
+            self._buf.append(
+                (t, dev_i, dev_z, (intensity, depth) if keep else None))
+            # Flow control: cap un-landed staging transfers at
+            # _STAGE_WINDOW. Measured on the tunneled (axon) transport:
+            # sessions with 16+ uploads in flight intermittently wedge
+            # (the transfer never completes and the stalled socket
+            # back-pressures the sender); <=8 in flight never has.
+            # Blocking on the (window+1)-oldest frame costs nothing when
+            # transfers keep up — it has long landed — and paces intake
+            # exactly when the transport is the bottleneck.
+            if len(self._buf) > self._STAGE_WINDOW:
+                jax.block_until_ready(
+                    self._buf[-(self._STAGE_WINDOW + 1)][1])
             if len(self._buf) < self.chunk:
                 return []
             return self._submit_buffered(collect_threshold=2)
@@ -326,13 +350,17 @@ class SlamNode:
         chunks down to collect_threshold-1 outstanding (2 = the depth-2
         pipeline: dispatch chunk k+1 before fetching chunk k)."""
         if self._buf:
+            import jax.numpy as jnp
+
             ts = [f[0] for f in self._buf]
+            # The per-frame arrays were device_put on arrival; the stack
+            # is a device-side concat (one queued op, no re-upload).
             self.engine.submit_chunk(
-                np.stack([f[1] for f in self._buf]),
-                np.stack([f[2] for f in self._buf]),
+                jnp.stack([f[1] for f in self._buf]),
+                jnp.stack([f[2] for f in self._buf]),
                 ts,
             )
-            self._inflight.append(self._buf)
+            self._inflight.append([(f[0], f[3]) for f in self._buf])
             self._buf = []
         out = []
         while len(self._inflight) >= collect_threshold:
@@ -353,8 +381,8 @@ class SlamNode:
             covs = {t: c for t, c in self.engine.covariances}
         return [
             self._frame_msg(t, pose, t in kf_times, covs.get(t),
-                            frame=(intensity, depth))
-            for (t, intensity, depth), pose in zip(frames, poses)
+                            frame=host_frame)
+            for (t, host_frame), pose in zip(frames, poses)
         ]
 
     # SlamConfig fields that size compiled/stored state: changing them on
