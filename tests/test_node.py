@@ -497,3 +497,37 @@ def test_live_raw_wire_encodings(tmp_path, enc):
     _, traj_f32 = run(frames, "f32")
     for Tr, Tf in zip(traj, traj_f32):
         np.testing.assert_allclose(Tr[:3, 3], Tf[:3, 3], atol=2e-3)
+
+
+def test_chunked_staging_window_blocks_and_matches(tmp_path):
+    """Eager per-frame staging is flow-controlled: at most _STAGE_WINDOW
+    un-landed uploads may be in flight (deeper windows wedged the
+    tunneled transport — node.py handle_frame). Forcing the window
+    smaller than the chunk exercises the blocking branch on every
+    frame past it; the trajectory must be unchanged vs per-frame mode."""
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(12, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+
+    chunked = node.SlamNode(K, tracker_cfg=TRACKER, slam_cfg=SLAM,
+                            mode="slam", chunk=4)
+    chunked._STAGE_WINDOW = 2  # chunk 4 > window 2: block on frames 3+4
+    msgs = []
+    for i, (ii, zz) in enumerate(frames):
+        msgs.extend(chunked.handle_frame(i / 30.0, ii, zz))
+    msgs.extend(chunked._flush())
+    traj_ck = chunked.engine.finish()
+
+    per_frame = node.SlamNode(K, tracker_cfg=TRACKER, slam_cfg=SLAM,
+                              mode="slam", chunk=0)
+    for i, (ii, zz) in enumerate(frames):
+        per_frame.handle_frame(i / 30.0, ii, zz)
+    traj_pf = per_frame.engine.finish()
+
+    assert len(msgs) == len(frames)
+    assert [m["t"] for m in msgs] == sorted(m["t"] for m in msgs)
+    assert len(traj_ck) == len(traj_pf) == len(frames)
+    for (_, Ta), (_, Tb) in zip(traj_ck, traj_pf):
+        assert_cross_run_close(np.asarray(Ta), np.asarray(Tb))
+    est = [np.asarray(T) for _, T in traj_ck]
+    assert evaluate.ate_rmse(est, poses) < 0.005
