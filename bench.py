@@ -98,6 +98,10 @@ def main():
                     choices=["f32", "raw", "raw12"],
                     help="live modes: wire/upload encoding (f32 8 B/px, "
                     "raw u8+u16 3 B/px, raw12 2.5 B/px)")
+    ap.add_argument("--stage-eager", action="store_true",
+                    help="live modes: per-frame eager device staging in "
+                    "the chunked node (opt-in; can wedge over the tunnel "
+                    "- see node.SlamNode.stage_eagerly)")
     ap.add_argument("--rate", type=float, default=0.0,
                     help="live modes: pace frame sends at this Hz (0 = "
                     "unpaced firehose). Paced runs make the reported pose "
@@ -490,7 +494,8 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
             args=(sock_path, K_t),
             kwargs=dict(tracker_cfg=cfg, slam_cfg=slam_cfg,
                         mode="slam" if lc else "keyframe",
-                        unix=True, max_sessions=1, chunk=chunk),
+                        unix=True, max_sessions=1, chunk=chunk,
+                        stage_eagerly=args.stage_eager),
             daemon=True,
         )
         server.start()
@@ -503,6 +508,7 @@ def _bench_live(args, cfg, K_t, frames, lc=False):
     note = (f"elapsed={elapsed:.3f}s chunk={chunk} socket-session "
             f"pose_msgs={n_msgs} enc={args.enc} "
             f"rate={args.rate or 'unpaced'} "
+            f"{'stage=eager ' if args.stage_eager else ''}"
             f"latency_ms p50={1000 * lat_p50:.0f} p95={1000 * lat_p95:.0f} "
             f"max={1000 * lat_max:.0f} "
             f"ms_per_frame={1000 * elapsed / args.frames:.2f} "

@@ -152,6 +152,11 @@ def main(argv=None):
                         "as one dispatch (pose messages arrive in bursts "
                         "up to 2N frames late; several x the per-frame "
                         "throughput over remoted devices). 0 = per-frame")
+    p.add_argument("--stage-eager", action="store_true",
+                   help="chunked sessions upload each frame on arrival "
+                        "instead of one burst per chunk (+25-55% over a "
+                        "tunneled device, but that transport can wedge "
+                        "mid-session - see node.SlamNode.stage_eagerly)")
     _add_tracker_args(p)
     _add_slam_args(p)
 
@@ -308,7 +313,8 @@ def main(argv=None):
         node.serve(address, K, tracker_cfg, slam_cfg, mode=args.mode,
                    with_covariance=args.covariance, unix=unix,
                    max_sessions=args.max_sessions, visualizer=viz,
-                   publish_clouds=args.publish_clouds, chunk=args.chunk)
+                   publish_clouds=args.publish_clouds, chunk=args.chunk,
+                   stage_eagerly=args.stage_eager)
         return 0
 
     if args.command == "synthetic":

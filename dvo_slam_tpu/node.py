@@ -215,7 +215,8 @@ class SlamNode:
 
     def __init__(self, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                  with_covariance=False, frame_logger=None, visualizer=None,
-                 visualizer_lock=None, publish_clouds=False, chunk=0):
+                 visualizer_lock=None, publish_clouds=False, chunk=0,
+                 stage_eagerly=False):
         from dvo_slam_tpu.config import SlamConfig, TrackerConfig
 
         tracker_cfg = tracker_cfg or TrackerConfig()
@@ -230,9 +231,19 @@ class SlamNode:
         self._viz_lock = visualizer_lock or threading.Lock()
         self._K = np.asarray(K, np.float64).reshape(-1)[:4]
         self.chunk = int(chunk) if mode != "odometry" else 0
-        self._buf: list = []  # buffered (t, dev_i, dev_z, host_or_None)
+        self._buf: list = []  # buffered (t, i, z, host_or_None)
         self._inflight: list = []  # submitted chunks' (t, host) lists
-        self._STAGE_WINDOW = 8  # max staged uploads in flight (see below)
+        # Eager per-frame device staging (OPT-IN): upload each frame as
+        # it arrives instead of one stacked burst per chunk. Measured
+        # +25-55% live-lc fps over the axon tunnel — but tunnel sessions
+        # intermittently wedge on a transfer that never completes
+        # (thread-dump evidence in docs/performance.md "The live node";
+        # one wedge hit the engine's own init fetch with staging OFF, so
+        # it is a transport-session failure, not an upload-path bug).
+        # Eager staging's many small transfers give a flaky session more
+        # chances to die mid-run, so it ships off.
+        self.stage_eagerly = bool(stage_eagerly) and self.chunk > 0
+        self._STAGE_WINDOW = 8  # max staged uploads in flight (eager mode)
         if mode == "odometry":
             from dvo_slam_tpu.models.odometry import OdometryTracker
 
@@ -306,30 +317,29 @@ class SlamNode:
         """Track one frame; returns the pose messages ready to send (one
         in per-frame mode; none or a full chunk's worth in chunked mode)."""
         if self.chunk:
-            import jax
-
-            # Eager per-frame staging: issue the (async) host->device
-            # transfer the moment the frame arrives, instead of letting
-            # submit_chunk upload the whole stacked chunk in one burst.
-            # Over a remoted/tunneled chip the burst IS the bottleneck —
-            # each frame's transfer now rides under the sensor interval
-            # (paced sessions) or the previous chunk's compute. Host
-            # copies are kept only when a viz/cloud consumer needs them.
             keep = (self.visualizer is not None or self.publish_clouds)
-            dev_i, dev_z = jax.device_put((intensity, depth))
-            self._buf.append(
-                (t, dev_i, dev_z, (intensity, depth) if keep else None))
-            # Flow control: cap un-landed staging transfers at
-            # _STAGE_WINDOW. Measured on the tunneled (axon) transport:
-            # sessions with 16+ uploads in flight intermittently wedge
-            # (the transfer never completes and the stalled socket
-            # back-pressures the sender); <=8 in flight never has.
-            # Blocking on the (window+1)-oldest frame costs nothing when
-            # transfers keep up — it has long landed — and paces intake
-            # exactly when the transport is the bottleneck.
-            if len(self._buf) > self._STAGE_WINDOW:
-                jax.block_until_ready(
-                    self._buf[-(self._STAGE_WINDOW + 1)][1])
+            host = (intensity, depth) if keep else None
+            if self.stage_eagerly:
+                import jax
+
+                # Eager per-frame staging: issue the (async) host->device
+                # transfer the moment the frame arrives, instead of
+                # letting submit_chunk upload the whole stacked chunk in
+                # one burst — each transfer rides under the sensor
+                # interval (paced sessions) or the previous chunk's
+                # compute. Flow control caps un-landed transfers at
+                # _STAGE_WINDOW: blocking on the (window+1)-oldest frame
+                # costs nothing when transfers keep up and paces intake
+                # exactly when the transport is the bottleneck. (The
+                # window does NOT cure the tunnel's lost-upload wedge —
+                # see stage_eagerly in __init__ — it bounds queueing.)
+                intensity, depth = jax.device_put((intensity, depth))
+                self._buf.append((t, intensity, depth, host))
+                if len(self._buf) > self._STAGE_WINDOW:
+                    jax.block_until_ready(
+                        self._buf[-(self._STAGE_WINDOW + 1)][1])
+            else:
+                self._buf.append((t, intensity, depth, host))
             if len(self._buf) < self.chunk:
                 return []
             return self._submit_buffered(collect_threshold=2)
@@ -350,14 +360,20 @@ class SlamNode:
         chunks down to collect_threshold-1 outstanding (2 = the depth-2
         pipeline: dispatch chunk k+1 before fetching chunk k)."""
         if self._buf:
-            import jax.numpy as jnp
-
             ts = [f[0] for f in self._buf]
-            # The per-frame arrays were device_put on arrival; the stack
-            # is a device-side concat (one queued op, no re-upload).
+            if self.stage_eagerly:
+                import jax.numpy as jnp
+
+                # The per-frame arrays were device_put on arrival; the
+                # stack is a device-side concat (no re-upload).
+                stack = jnp.stack
+            else:
+                # Burst mode: one stacked host array per chunk;
+                # submit_chunk issues the single upload.
+                stack = np.stack
             self.engine.submit_chunk(
-                jnp.stack([f[1] for f in self._buf]),
-                jnp.stack([f[2] for f in self._buf]),
+                stack([f[1] for f in self._buf]),
+                stack([f[2] for f in self._buf]),
                 ts,
             )
             self._inflight.append([(f[0], f[3]) for f in self._buf])
@@ -572,7 +588,8 @@ def serve_connection(sock: socket.socket, node: SlamNode,
 
 def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
           with_covariance=False, unix=False, max_sessions=None,
-          visualizer=None, publish_clouds=False, chunk=0):
+          visualizer=None, publish_clouds=False, chunk=0,
+          stage_eagerly=False):
     """Accept camera sessions + subscribers (one SlamNode per camera).
 
     address: (host, port) for TCP or a filesystem path for unix=True.
@@ -589,6 +606,9 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
       times per-frame throughput over remoted devices (see SlamNode).
       Clients must pipeline sends (StreamClient.send_frame_nowait) instead
       of awaiting one reply per frame.
+    stage_eagerly: chunked sessions upload each frame on arrival instead
+      of one burst per chunk (+25-55% measured over the tunnel, but that
+      transport can wedge mid-session — see SlamNode.stage_eagerly).
     """
     broadcast = Broadcast()
     done = threading.Semaphore(0)
@@ -621,7 +641,8 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                 node = SlamNode(K, tracker_cfg, slam_cfg, mode,
                                 with_covariance, visualizer=visualizer,
                                 visualizer_lock=viz_lock,
-                                publish_clouds=publish_clouds, chunk=chunk)
+                                publish_clouds=publish_clouds, chunk=chunk,
+                                stage_eagerly=stage_eagerly)
                 try:
                     serve_connection(self.request, node, broadcast,
                                      first_header=header, rfile=rfile)

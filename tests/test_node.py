@@ -500,17 +500,18 @@ def test_live_raw_wire_encodings(tmp_path, enc):
 
 
 def test_chunked_staging_window_blocks_and_matches(tmp_path):
-    """Eager per-frame staging is flow-controlled: at most _STAGE_WINDOW
-    un-landed uploads may be in flight (deeper windows wedged the
-    tunneled transport — node.py handle_frame). Forcing the window
-    smaller than the chunk exercises the blocking branch on every
-    frame past it; the trajectory must be unchanged vs per-frame mode."""
+    """Opt-in eager staging (stage_eagerly=True) is flow-controlled: at
+    most _STAGE_WINDOW un-landed uploads may be in flight. Forcing the
+    window smaller than the chunk exercises the blocking branch on every
+    frame past it; the trajectory must be unchanged vs per-frame mode
+    (which also pins eager-staged == burst-uploaded semantics, since the
+    burst path is equivalence-tested against per-frame elsewhere)."""
     scene = synthetic.two_plane_scene()
     poses = synthetic.orbit_trajectory(12, radius=0.05)
     frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
 
     chunked = node.SlamNode(K, tracker_cfg=TRACKER, slam_cfg=SLAM,
-                            mode="slam", chunk=4)
+                            mode="slam", chunk=4, stage_eagerly=True)
     chunked._STAGE_WINDOW = 2  # chunk 4 > window 2: block on frames 3+4
     msgs = []
     for i, (ii, zz) in enumerate(frames):
