@@ -47,12 +47,6 @@ from dvo_slam_tpu.ops import camera, pyramid
 from dvo_slam_tpu.utils import se3_np
 
 
-def _host_graph(graph):
-    """Materialize a PoseGraph pytree as writable host numpy arrays (the
-    orchestrator's graph is host-resident; see KeyframeSlam.__init__)."""
-    return jax.tree.map(lambda a: np.asarray(a).copy(), graph)
-
-
 def _cov_from_info(info) -> np.ndarray:
     """Covariance = Information^{-1} (f64), NaN matrix when unusable —
     the reference's PoseWithCovarianceStamped payload."""
@@ -174,8 +168,8 @@ class KeyframeSlam:
         # ONE transfer per optimize() dispatch (~0.3 MB at default
         # capacities). Only the async solve's output poses live on device
         # (_pending_poses) until the next pose read.
-        self.graph = _host_graph(
-            pose_graph.empty_graph(slam_cfg.max_keyframes, slam_cfg.max_edges)
+        self.graph = pose_graph.empty_graph_host(
+            slam_cfg.max_keyframes, slam_cfg.max_edges
         )
         self._pending_poses = None  # device handle of the in-flight solve
         self.kf_poses: List[np.ndarray] = []  # world <- keyframe, f64 host mirror
@@ -515,9 +509,9 @@ class KeyframeSlam:
         if idx >= self.graph.poses.shape[0]:
             # Graceful growth instead of a hard failure (the reference runs
             # indefinitely): doubling keeps optimize() recompiles O(log N).
-            self.graph = _host_graph(pose_graph.grow(
+            self.graph = pose_graph.grow(
                 self.graph, max_vertices=2 * self.graph.poses.shape[0]
-            ))
+            )
         self.keyframes.append(Keyframe(idx=idx, timestamp=timestamp, pyramid=pyr))
         self.kf_poses.append(np.asarray(T_w, np.float64))
         self.graph.poses[idx] = np.asarray(T_w, np.float32)
@@ -567,9 +561,9 @@ class KeyframeSlam:
         self._sync_poses()
         e = int(self.graph.num_edges)
         if e >= self.graph.edge_i.shape[0]:
-            self.graph = _host_graph(pose_graph.grow(
+            self.graph = pose_graph.grow(
                 self.graph, max_edges=2 * self.graph.edge_i.shape[0]
-            ))
+            )
         self.graph.edge_i[e] = i
         self.graph.edge_j[e] = j
         self.graph.measurements[e] = np.asarray(Z, np.float32)

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dvo_slam_tpu.ops import se3
 
@@ -61,35 +62,60 @@ def empty_graph(max_vertices: int, max_edges: int) -> PoseGraph:
     )
 
 
+def empty_graph_host(max_vertices: int, max_edges: int) -> PoseGraph:
+    """Host (numpy) twin of empty_graph for the orchestrator's
+    host-resident graph mirror (keyframe_tracker): constructing the
+    mirror must not touch the device at all — the jnp form costs a
+    dispatch + a full fetch at engine init (and that init fetch is
+    where a flaky remoted transport was observed to wedge; see
+    docs/performance.md "The live node")."""
+    return PoseGraph(
+        poses=np.tile(np.eye(4, dtype=np.float32), (max_vertices, 1, 1)),
+        num_vertices=np.asarray(0, np.int32),
+        edge_i=np.zeros(max_edges, np.int32),
+        edge_j=np.zeros(max_edges, np.int32),
+        measurements=np.tile(np.eye(4, dtype=np.float32), (max_edges, 1, 1)),
+        information=np.tile(np.eye(6, dtype=np.float32), (max_edges, 1, 1)),
+        edge_mask=np.zeros(max_edges, bool),
+        num_edges=np.asarray(0, np.int32),
+    )
+
+
 def grow(graph: PoseGraph, max_vertices: int = None,
          max_edges: int = None) -> PoseGraph:
     """Re-pad the graph to larger capacities (contents preserved).
 
     The reference grows g2o graphs dynamically; here capacity is a static
     shape, so growth re-pads (doubling at the call site keeps recompiles
-    of `optimize` to O(log N) over a run).
+    of `optimize` to O(log N) over a run). Numpy-native: its only caller
+    is the HOST-resident mirror, and re-padding must stay a host copy —
+    the former jnp form paid a device upload + fetch of the whole padded
+    graph per re-pad.
     """
     M_old = graph.poses.shape[0]
     E_old = graph.edge_i.shape[0]
     M = max(max_vertices or M_old, M_old)
     E = max(max_edges or E_old, E_old)
-    eye4 = jnp.eye(4, dtype=graph.poses.dtype)
-    eye6 = jnp.eye(6, dtype=graph.information.dtype)
+    poses = np.asarray(graph.poses)
+    measurements = np.asarray(graph.measurements)
+    information = np.asarray(graph.information)
+    eye4 = np.eye(4, dtype=poses.dtype)
+    eye6 = np.eye(6, dtype=information.dtype)
     return PoseGraph(
-        poses=jnp.concatenate(
-            [graph.poses, jnp.tile(eye4, (M - M_old, 1, 1))]
-        ) if M > M_old else graph.poses,
-        num_vertices=graph.num_vertices,
-        edge_i=jnp.pad(graph.edge_i, (0, E - E_old)),
-        edge_j=jnp.pad(graph.edge_j, (0, E - E_old)),
-        measurements=jnp.concatenate(
-            [graph.measurements, jnp.tile(eye4, (E - E_old, 1, 1))]
-        ) if E > E_old else graph.measurements,
-        information=jnp.concatenate(
-            [graph.information, jnp.tile(eye6, (E - E_old, 1, 1))]
-        ) if E > E_old else graph.information,
-        edge_mask=jnp.pad(graph.edge_mask, (0, E - E_old)),
-        num_edges=graph.num_edges,
+        poses=np.concatenate(
+            [poses, np.tile(eye4, (M - M_old, 1, 1))]
+        ) if M > M_old else poses.copy(),
+        num_vertices=np.asarray(graph.num_vertices),
+        edge_i=np.pad(np.asarray(graph.edge_i), (0, E - E_old)),
+        edge_j=np.pad(np.asarray(graph.edge_j), (0, E - E_old)),
+        measurements=np.concatenate(
+            [measurements, np.tile(eye4, (E - E_old, 1, 1))]
+        ) if E > E_old else measurements.copy(),
+        information=np.concatenate(
+            [information, np.tile(eye6, (E - E_old, 1, 1))]
+        ) if E > E_old else information.copy(),
+        edge_mask=np.pad(np.asarray(graph.edge_mask), (0, E - E_old)),
+        num_edges=np.asarray(graph.num_edges),
     )
 
 
