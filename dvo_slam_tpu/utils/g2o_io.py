@@ -109,18 +109,15 @@ def load_g2o(path: str, max_vertices: int = 256, max_edges: int = 1024):
             )
     cap_v = max(max_vertices, n_v)
     cap_e = max(max_edges, len(edges))
-    g = pose_graph.empty_graph(cap_v, cap_e)
-
-    # Assemble on host, upload once (per-element device scatters would be
-    # one dispatch each).
-    poses = np.asarray(g.poses).copy()  # jax __array__ can be read-only
+    # Assemble on host (numpy graph — no device traffic during the
+    # parse), upload once at the end (per-element device scatters would
+    # be one dispatch each).
+    g = pose_graph.empty_graph_host(cap_v, cap_e)
+    poses = g.poses
     for vid, T in vertices.items():
         poses[id_map[vid]] = T
-    ei = np.asarray(g.edge_i).copy()
-    ej = np.asarray(g.edge_j).copy()
-    Z = np.asarray(g.measurements).copy()
-    info_arr = np.asarray(g.information).copy()
-    mask = np.asarray(g.edge_mask).copy()
+    ei, ej = g.edge_i, g.edge_j
+    Z, info_arr, mask = g.measurements, g.information, g.edge_mask
     for e, (i, j, Zm, I) in enumerate(edges):
         ei[e], ej[e] = id_map[i], id_map[j]
         Z[e], info_arr[e] = Zm, I
