@@ -157,6 +157,12 @@ def main(argv=None):
                         "instead of one burst per chunk (+25-55% over a "
                         "tunneled device, but that transport can wedge "
                         "mid-session - see node.SlamNode.stage_eagerly)")
+    p.add_argument("--stall-timeout", type=float, default=60.0,
+                   help="publish a {\"event\": \"stall\"} pose-feed "
+                        "message when one engine call runs longer than "
+                        "this many seconds (wedged device transport "
+                        "detection; warn-only; 0 disables; keep above "
+                        "worst-case first-call compile time)")
     _add_tracker_args(p)
     _add_slam_args(p)
 
@@ -314,7 +320,8 @@ def main(argv=None):
                    with_covariance=args.covariance, unix=unix,
                    max_sessions=args.max_sessions, visualizer=viz,
                    publish_clouds=args.publish_clouds, chunk=args.chunk,
-                   stage_eagerly=args.stage_eager)
+                   stage_eagerly=args.stage_eager,
+                   stall_timeout=args.stall_timeout)
         return 0
 
     if args.command == "synthetic":

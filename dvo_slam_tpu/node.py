@@ -244,6 +244,9 @@ class SlamNode:
         # chances to die mid-run, so it ships off.
         self.stage_eagerly = bool(stage_eagerly) and self.chunk > 0
         self._STAGE_WINDOW = 8  # max staged uploads in flight (eager mode)
+        # monotonic() timestamp while inside one engine call, else None
+        # (read by the serve-side stall watchdog — _stall_watchdog).
+        self._busy_since = None
         if mode == "odometry":
             from dvo_slam_tpu.models.odometry import OdometryTracker
 
@@ -316,6 +319,15 @@ class SlamNode:
     def handle_frame(self, t, intensity, depth) -> list:
         """Track one frame; returns the pose messages ready to send (one
         in per-frame mode; none or a full chunk's worth in chunked mode)."""
+        import time
+
+        self._busy_since = time.monotonic()
+        try:
+            return self._handle_frame(t, intensity, depth)
+        finally:
+            self._busy_since = None
+
+    def _handle_frame(self, t, intensity, depth) -> list:
         if self.chunk:
             keep = (self.visualizer is not None or self.publish_clouds)
             host = (intensity, depth) if keep else None
@@ -474,6 +486,15 @@ class SlamNode:
         their pose messages precede the command's reply; in per-frame
         mode no-reply commands still produce nothing — the framed
         protocol must not desynchronize."""
+        import time
+
+        self._busy_since = time.monotonic()
+        try:
+            return self._handle_cmd(cmd)
+        finally:
+            self._busy_since = None
+
+    def _handle_cmd(self, cmd: str) -> list:
         out = self.flush_pending()
         if cmd == "force_keyframe":
             # In odometry mode (no keyframes) this is a silent no-op, not
@@ -506,18 +527,65 @@ class SlamNode:
         return out
 
 
+def _stall_watchdog(node: "SlamNode", broadcast: Optional[Broadcast],
+                    timeout_s: float, stop: threading.Event,
+                    poll_s: float = 1.0) -> None:
+    """Failure detection for the live session (SURVEY §6): if one
+    engine call (device dispatch/fetch) has been running for more than
+    timeout_s, publish a {"event": "stall"} message on the pose feed
+    and log to stderr — once per stuck call, warn-only (the first call
+    legitimately compiles for tens of seconds; a later one stalling
+    this long means the device transport wedged — observed on the
+    tunneled chip as a transfer that never completes, thread dumps in
+    docs/performance.md "The live node"). Subscribers see the event
+    instead of a silently frozen feed; the camera client still feels
+    socket back-pressure, which is the only honest signal a one-way
+    frame stream has."""
+    import sys
+    import time
+
+    warned_episode = None
+    while not stop.wait(poll_s):
+        busy = node._busy_since
+        if busy is None or busy == warned_episode:
+            continue
+        stalled = time.monotonic() - busy
+        if stalled < timeout_s:
+            continue
+        warned_episode = busy
+        msg = {"event": "stall", "stalled_s": round(stalled, 1),
+               "detail": "engine call has not returned; device "
+                         "transport may be wedged"}
+        print(f"dvo node: engine call stalled {stalled:.0f}s "
+              "(device transport wedged?)", file=sys.stderr)
+        if broadcast is not None:
+            broadcast.publish(msg)
+
+
 def serve_connection(sock: socket.socket, node: SlamNode,
                      broadcast: Optional[Broadcast] = None,
                      first_header: Optional[dict] = None,
-                     rfile=None) -> None:
+                     rfile=None, stall_timeout: float = 0.0) -> None:
     """Run one camera session over an accepted socket until finish/EOF.
 
     rfile: optional buffered reader already wrapping `sock` (headers and
     payloads then cost one syscall each instead of byte-wise recv on the
-    per-frame hot path)."""
+    per-frame hot path).
+    stall_timeout: > 0 starts a watchdog that publishes a
+    {"event": "stall"} pose-feed message when a single engine call
+    exceeds that many seconds (see _stall_watchdog)."""
     owns_rfile = rfile is None
     if owns_rfile:
         rfile = sock.makefile("rb")
+    stop_watch = None
+    if stall_timeout > 0:
+        stop_watch = threading.Event()
+        threading.Thread(
+            target=_stall_watchdog,
+            args=(node, broadcast, stall_timeout, stop_watch),
+            kwargs=dict(poll_s=min(1.0, stall_timeout / 4)),
+            daemon=True, name="stall-watchdog",
+        ).start()
     try:
         while True:
             if first_header is not None:
@@ -582,6 +650,8 @@ def serve_connection(sock: socket.socket, node: SlamNode,
                 if broadcast is not None:
                     broadcast.publish(msg)
     finally:
+        if stop_watch is not None:
+            stop_watch.set()
         if owns_rfile:
             rfile.close()
 
@@ -589,7 +659,7 @@ def serve_connection(sock: socket.socket, node: SlamNode,
 def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
           with_covariance=False, unix=False, max_sessions=None,
           visualizer=None, publish_clouds=False, chunk=0,
-          stage_eagerly=False):
+          stage_eagerly=False, stall_timeout=0.0):
     """Accept camera sessions + subscribers (one SlamNode per camera).
 
     address: (host, port) for TCP or a filesystem path for unix=True.
@@ -609,6 +679,11 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
     stage_eagerly: chunked sessions upload each frame on arrival instead
       of one burst per chunk (+25-55% measured over the tunnel, but that
       transport can wedge mid-session — see SlamNode.stage_eagerly).
+    stall_timeout: > 0 arms a per-session watchdog that publishes
+      {"event": "stall"} on the pose feed (and logs) when one engine
+      call runs longer than this many seconds — failure DETECTION for a
+      wedged device transport; warn-only (cli live defaults it to 60 s;
+      keep it above worst-case first-call compile time).
     """
     broadcast = Broadcast()
     done = threading.Semaphore(0)
@@ -645,7 +720,8 @@ def serve(address, K, tracker_cfg=None, slam_cfg=None, mode="slam",
                                 stage_eagerly=stage_eagerly)
                 try:
                     serve_connection(self.request, node, broadcast,
-                                     first_header=header, rfile=rfile)
+                                     first_header=header, rfile=rfile,
+                                     stall_timeout=stall_timeout)
                 finally:
                     done.release()
             finally:

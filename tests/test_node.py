@@ -532,3 +532,61 @@ def test_chunked_staging_window_blocks_and_matches(tmp_path):
         assert_cross_run_close(np.asarray(Ta), np.asarray(Tb))
     est = [np.asarray(T) for _, T in traj_ck]
     assert evaluate.ate_rmse(est, poses) < 0.005
+
+
+def test_stall_watchdog_publishes_event(tmp_path):
+    """Failure detection for a wedged device transport: when one engine
+    call exceeds stall_timeout, the watchdog publishes {"event":
+    "stall"} on the pose feed (warn-only — the session completes
+    normally once the call returns). Simulated by an engine whose
+    second update sleeps past the timeout."""
+    import json
+    import socket as socket_mod
+    import time
+
+    scene = synthetic.two_plane_scene()
+    poses = synthetic.orbit_trajectory(4, radius=0.05)
+    frames = synthetic.render_sequence(scene, np.asarray(K), W, H, poses)
+
+    n = node.SlamNode(K, tracker_cfg=TRACKER, slam_cfg=SLAM, mode="slam")
+    real_update = n.engine.update
+    calls = {"k": 0}
+
+    def slow_update(intensity, depth, t):
+        calls["k"] += 1
+        if calls["k"] == 2:
+            time.sleep(1.2)  # one "wedged" engine call
+        return real_update(intensity, depth, t)
+
+    n.engine.update = slow_update
+
+    broadcast = node.Broadcast()
+    sub_srv, sub_cli = socket_mod.socketpair()
+    broadcast.add(sub_srv)
+
+    cam_srv, cam_cli = socket_mod.socketpair()
+    t = threading.Thread(
+        target=node.serve_connection, args=(cam_srv, n, broadcast),
+        kwargs=dict(stall_timeout=0.4), daemon=True)
+    t.start()
+
+    client = node.StreamClient(cam_cli)
+    for i, (ii, zz) in enumerate(frames):
+        client.send_frame_nowait(i / 30.0, ii, zz)
+    final = client.finish()
+    assert len(final["trajectory"]) == len(frames)
+    t.join(timeout=30)
+
+    sub_cli.settimeout(10.0)
+    feed = b""
+    while b'"stall"' not in feed:
+        feed += sub_cli.recv(65536)  # raises timeout if event never came
+    events = [json.loads(l) for l in feed.decode().splitlines()
+              if '"event"' in l]
+    assert any(e["event"] == "stall" and e["stalled_s"] >= 0.4
+               for e in events)
+    # Warn-only and once per stuck call: every frame still got a pose.
+    n_poses = sum(1 for l in feed.decode().splitlines() if '"pose"' in l)
+    assert n_poses <= len(frames)
+    client.close()
+    sub_cli.close()
